@@ -1,0 +1,121 @@
+"""Counter / profiler behavior tests pinning reference semantics
+(profiler/counter/counter.go, profiler/profiler.go)."""
+
+import numpy as np
+
+from tsprofiler_spark.config import Settings
+from tsprofiler_spark.kernel.counter import Counter, TSState
+from tsprofiler_spark.kernel.profiler import ReferenceProfiler
+from tsprofiler_spark.kernel.stats import TSStats
+
+
+def _state(metric, state, avg=None, count=1, vmin=0.0, vmax=100.0):
+    return TSState(
+        metric=metric,
+        state=state,
+        stats=TSStats(min=vmin, max=vmax, avg=avg if avg is not None else state * 10.0, count=count),
+    )
+
+
+def test_zero_state_seeding():
+    # first chunk counts a transition from synthetic state 0 (counter.go:159-162)
+    c = Counter(history=1, states=4, buffer_size=1)
+    c.count(_state("m", 2))
+    assert c.state_change_counters["m"] == {"0": [0, 0, 1, 0]}
+
+
+def test_suffix_idents_history_2():
+    # with history=2 and window [a, b], idents "a-b" AND "b" are incremented
+    # (counter.go:164-185)
+    c = Counter(history=2, states=3, buffer_size=1)
+    for s in [1, 2, 0]:
+        c.count(_state("m", s, vmin=0.0, vmax=100.0))
+    m = c.state_change_counters["m"]
+    # chunk1: window [0,0] -> idents "0-0","0" count state 1
+    # chunk2: window [0,1] -> idents "0-1","1" count state 2
+    # chunk3: window [1,2] -> idents "1-2","2" count state 0
+    assert m["0-0"] == [0, 1, 0]
+    assert m["0"] == [0, 1, 0]
+    assert m["0-1"] == [0, 0, 1]
+    assert m["1"] == [0, 0, 1]
+    assert m["1-2"] == [1, 0, 0]
+    assert m["2"] == [1, 0, 0]
+
+
+def test_global_stats_weighted_fold():
+    c = Counter(history=1, states=4, buffer_size=2)
+    c.count(TSState("m", 0, TSStats(min=0, max=100, avg=10.0, count=2, stddev_sum=3.0)))
+    c.count(TSState("m", 1, TSStats(min=0, max=100, avg=30.0, count=2, stddev_sum=5.0)))
+    st = c.stats["m"]
+    assert st.avg == 20.0
+    assert st.count == 4
+    assert st.stddev_sum == 8.0
+    assert abs(st.stddev - np.sqrt(8.0 / 4.0)) < 1e-12
+
+
+def test_dynamic_bound_rescale_trigger():
+    # expanding max triggers change_dimension against the incoming chunk bounds
+    c = Counter(history=1, states=4, buffer_size=1)
+    c.count(TSState("m", 3, TSStats(min=50, max=55, avg=54.0, count=1)))
+    assert "0" in c.state_change_counters["m"]
+    c.count(TSState("m", 2, TSStats(min=0, max=100, avg=50.0, count=1)))
+    # old grid (50,55) remapped onto (0,100)
+    assert c.stats["m"].min == 0
+    assert c.stats["m"].max == 100
+
+
+def test_profiler_example159_config_shape():
+    """example-159 settings: states=10, buffersize=1, history=1, fixbound 0-100.
+
+    Pins the profile JSON shape and the int-percent arithmetic at a realistic
+    config (the reference fixture's input CSV is not in the repo, so values
+    are checked against the kernel itself on synthetic data; shape/fields
+    match /root/reference/tools/example-159/out.profile.json)."""
+    settings = Settings(
+        buffer_size=1, states=10, history=1, filter_stddevs=-1,
+        fix_bound=True, fixed_min=0.0, fixed_max=100.0, name="csv2tsprofile",
+    )
+    prof = ReferenceProfiler(settings)
+    rng = np.random.default_rng(159)
+    # three metrics per input row, like the fixture
+    for i in range(200):
+        prof.put([
+            ("metric_0", float(50 + 40 * np.sin(i / 20) + rng.normal(0, 5))),
+            ("metric_1", float(np.clip(rng.normal(20, 10), 0, 100))),
+            ("metric_2", float(np.clip(rng.normal(25, 15), 0, 100))),
+        ])
+    doc = prof.get_profile()
+    assert {t["metric"] for t in doc["roottx"]} == {"metric_0", "metric_1", "metric_2"}
+    for tx in doc["roottx"]:
+        assert tx["stats"]["count"] == 200
+        assert tx["stats"]["min"] == 0 and tx["stats"]["max"] == 100
+        for ident, step in tx["transitions"].items():
+            assert len(step["nextProbs"]) == 10
+            assert all(isinstance(p, int) for p in step["nextProbs"])
+            rowsum = sum(step["nextProbs"])
+            assert 95 <= rowsum <= 105 or rowsum == 0  # int-percent rounding
+    # buffersize=1 => stddevsum telescopes to 0 like the fixture
+    assert all(t["stats"]["stddevsum"] == 0 for t in doc["roottx"])
+    hist = prof.get_history()
+    assert set(hist["historicStates"][0].keys()) == {"metric_0", "metric_1", "metric_2"}
+    assert hist["periodPath"] == []
+
+
+def test_profiler_period_tree_and_phases_run():
+    settings = Settings(
+        buffer_size=2, states=4, history=1, fix_bound=True,
+        fixed_min=0.0, fixed_max=100.0, period_size=(3, 4),
+        phase_change_likeliness=0.5, phase_change_history=3,
+    )
+    prof = ReferenceProfiler(settings)
+    rng = np.random.default_rng(1)
+    prof.put_series(rng.uniform(0, 100, 120))
+    doc = prof.get_profile()
+    root = doc["periodTree"]["root"]
+    assert root["maxChilds"] == 3
+    assert len(root["children"]) == 3
+    # level-0 counter writes into depth-1 nodes; root has no matrix
+    assert root["txmatrix"] == []
+    assert any(ch["txmatrix"] for ch in root["children"])
+    assert len(doc["phases"]["phases"]) >= 1
+    assert doc["phases"]["tx"]["metric"] == "phasetx"
