@@ -1,0 +1,48 @@
+"""Spark Column expression helpers shared across operators.
+
+Everything here is pure `pyspark.sql.functions` (JVM-side, codegen-able) —
+no Python UDFs. Formulas mirror the reference kernels and are written so the
+same ANSI SQL runs in DuckDB for the driver's oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def go_round_nonneg(c: Column) -> Column:
+    """Half-away-from-zero round for non-negative values
+    (reference: utils/stats.go:38-44). floor(x + 0.5) == go_round(x) for x >= 0."""
+    return F.floor(c + F.lit(0.5))
+
+
+def closest_state(value: Column, states: int, vmin: float, vmax: float) -> Column:
+    """Closest-state discretization with fixed bounds as a pure SQL formula.
+
+    Mirrors utils/discretize.go:30-51: buckets centered on ``i*step`` with
+    ``min`` intentionally NOT added; clamped to [0, states-1]. For values on
+    the grid this equals ``least(S-1, greatest(0, floor(v/step + 0.5)))``.
+    """
+    step = (vmax - vmin) / float(states)
+    raw = F.floor(value / F.lit(step) + F.lit(0.5))
+    return F.least(F.lit(states - 1), F.greatest(F.lit(0), raw)).cast("int")
+
+
+def closest_state_sql(value_expr: str, states: int, vmin: float, vmax: float) -> str:
+    """The same formula as ANSI SQL text (for DuckDB oracles and spark.sql)."""
+    step = (vmax - vmin) / float(states)
+    return (
+        f"CAST(LEAST({states - 1}, GREATEST(0, "
+        f"FLOOR(({value_expr}) / {step!r} + 0.5))) AS INT)"
+    )
+
+
+def series_key_cols() -> list[str]:
+    """The series key: one profiled series per (conv_id, tool, role)."""
+    return ["conv_id", "tool", "role"]
+
+
+def ident_expr(state_cols: list[Column]) -> Column:
+    """Dash-joined state-history ident (reference: utils/historyconvert.go:10-20)."""
+    return F.concat_ws("-", *[c.cast("string") for c in state_cols])

@@ -1,0 +1,246 @@
+"""Scale-mode profiler stages: bucketize -> chunk stats -> states ->
+transition counts -> probabilities -> profile assembly.
+
+Re-expresses the reference dataflow (profiler/profiler.go:99-133) as
+distributive DataFrame operators. Scale mode assumes fixed discretization
+bounds (the realistic deployment, example-159 ``fixbound:true``), under
+which chunk states and transition counts are pure functions of the data and
+merge associatively — no dynamic-grid rescale (utils/txdimension.go) and no
+snapshot averaging are needed. Parity mode (plans/parity.py) covers the
+dynamic/lossy behaviors with the kernel oracle per series.
+
+Everything here is pure pyspark.sql.functions — JVM-side, codegen-able,
+zero Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.config import Settings
+from tsprofiler_spark.functions import closest_state, go_round_nonneg
+from tsprofiler_spark.operators.ingest import SERIES_COLS
+
+
+def bucketize(series: DataFrame, buffer_size: int) -> DataFrame:
+    """Assign chunk index: bucket_idx = floor(seq / B), seq = arrival order
+    (reference: chunk closes on input count, profiler.go:107)."""
+    w = Window.partitionBy(*SERIES_COLS, "metric").orderBy("ts", "turn_idx")
+    return series.withColumn("seq", F.row_number().over(w) - 1).withColumn(
+        "bucket_idx", (F.col("seq") / F.lit(buffer_size)).cast("long")
+    )
+
+
+def chunk_stats(bucketed: DataFrame, settings: Settings) -> DataFrame:
+    """Per-chunk aggregation (reference: descretizer.go:68-85).
+
+    Emits per (series, metric, bucket_idx): count, avg, min/max (fixed or
+    chunk-dynamic), sample stddev, and the reference's cross-term
+    ``stddev_sum = sum((v - current_avg) * (v - chunk_avg))`` where
+    ``current_avg`` is the global running average before this chunk —
+    recovered distributively from cumulative sums:
+    ``S2 - avg*S1 - cavg*S1 + n*cavg*avg``.
+
+    Incomplete trailing chunks are dropped (the reference discards a
+    partially filled buffer at stream end).
+    """
+    agg = bucketed.groupBy(*SERIES_COLS, "metric", "bucket_idx").agg(
+        F.count("value").alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.avg("value").alias("chunk_avg"),
+        F.min("value").alias("obs_min"),
+        F.max("value").alias("obs_max"),
+        F.stddev_samp("value").alias("chunk_stddev"),
+        F.min("ts").alias("bucket_start"),
+        F.max("ts").alias("bucket_end"),
+    )
+    agg = agg.where(F.col("n") == F.lit(settings.buffer_size))
+
+    w = (
+        Window.partitionBy(*SERIES_COLS, "metric")
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_s1 = F.sum("s1").over(w)
+    cum_n = F.sum("n").over(w)
+    current_avg = F.coalesce(cum_s1 / cum_n, F.lit(0.0))
+
+    if settings.fix_bound:
+        vmin, vmax = F.lit(settings.fixed_min), F.lit(settings.fixed_max)
+    else:
+        vmin, vmax = F.col("obs_min"), F.col("obs_max")
+
+    return agg.select(
+        *SERIES_COLS,
+        "metric",
+        "bucket_idx",
+        "bucket_start",
+        "bucket_end",
+        "n",
+        "s1",
+        "s2",
+        "chunk_avg",
+        "chunk_stddev",
+        vmin.alias("bound_min"),
+        vmax.alias("bound_max"),
+        current_avg.alias("current_avg"),
+        (
+            F.col("s2")
+            - F.col("chunk_avg") * F.col("s1")
+            - current_avg * F.col("s1")
+            + F.col("n") * current_avg * F.col("chunk_avg")
+        ).alias("stddev_sum"),
+    )
+
+
+def with_state(chunks: DataFrame, settings: Settings) -> DataFrame:
+    """Discretize chunk averages (reference: utils/discretize.go:30-51).
+
+    Scale mode requires fixed bounds so the state is a pure per-row formula.
+    """
+    assert settings.fix_bound, "scale mode discretization requires fix_bound"
+    return chunks.withColumn(
+        "state",
+        closest_state(
+            F.col("chunk_avg"), settings.states, settings.fixed_min, settings.fixed_max
+        ),
+    )
+
+
+def transition_counts(states: DataFrame, settings: Settings) -> DataFrame:
+    """Markov transition counting (reference: counter.go:159-185).
+
+    The previous-state window is zero-seeded (first chunk counts a
+    transition from synthetic state 0) and every history *suffix* ident is
+    incremented: window [a, b] increments "a-b" AND "b".
+    """
+    w = Window.partitionBy(*SERIES_COLS, "metric").orderBy("bucket_idx")
+    lags = [
+        F.coalesce(F.lag("state", i).over(w), F.lit(0)).cast("string")
+        for i in range(settings.history, 0, -1)
+    ]  # oldest ... newest
+    idents = F.array(
+        *[F.concat_ws("-", *lags[j:]) for j in range(settings.history)]
+    )  # suffixes: full window first, then shorter
+    # two-step: window exprs first, generator second (Spark can't mix them)
+    with_idents = states.withColumn("idents", idents)
+    exploded = with_idents.withColumn("ident", F.explode("idents"))
+    return exploded.groupBy(*SERIES_COLS, "metric", "ident", "state").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).withColumnRenamed("state", "next_state")
+
+
+def transition_probs(counts: DataFrame, settings: Settings) -> DataFrame:
+    """Integer-percent normalization (reference: utils/txprobabilities.go:7-31).
+
+    ``prob_pct = go_round(100 * cnt / row_sum)``;
+    ``step_prob = go_round(100 * row_sum / n_chunks)`` where n_chunks =
+    global_count / buffer_size (counter.go:202). Only the full-history
+    ident rows carry chunk multiplicity 1; suffix idents inflate row sums
+    exactly as in the reference.
+    """
+    w_row = Window.partitionBy(*SERIES_COLS, "metric", "ident")
+    # total chunks per (series, metric) = distinct buckets = sum over the
+    # FULL-LENGTH idents only... every chunk contributes exactly one count
+    # per suffix length, so sum(cnt)/history == n_chunks.
+    w_series = Window.partitionBy(*SERIES_COLS, "metric")
+    row_sum = F.sum("cnt").over(w_row)
+    n_chunks = F.sum("cnt").over(w_series) / F.lit(settings.history)
+    return counts.select(
+        *SERIES_COLS,
+        "metric",
+        "ident",
+        "next_state",
+        "cnt",
+        go_round_nonneg(F.lit(100.0) * F.col("cnt") / row_sum).cast("int").alias("prob_pct"),
+        go_round_nonneg(F.lit(100.0) * row_sum / n_chunks).cast("int").alias("step_prob"),
+    )
+
+
+def series_stats(chunks: DataFrame, settings: Settings) -> DataFrame:
+    """Global per-(series, metric) running stats (reference: counter.go:148-156).
+
+    Associative recombination: the reference's sequential weighted-mean fold
+    equals sum(S1)/sum(n) exactly in exact arithmetic; stddev_sum is a plain
+    sum of per-chunk cross terms; stddev = sqrt(stddev_sum / count)
+    (population-style over cross terms, matching the reference formula).
+    """
+    if settings.fix_bound:
+        min_col = F.min("bound_min")
+        max_col = F.max("bound_max")
+    else:
+        min_col = F.min("obs_min")
+        max_col = F.max("obs_max")
+    return chunks.groupBy(*SERIES_COLS, "metric").agg(
+        F.sum("n").alias("count"),
+        (F.sum("s1") / F.sum("n")).alias("avg"),
+        min_col.alias("min"),
+        max_col.alias("max"),
+        F.sum("stddev_sum").alias("stddev_sum"),
+        F.sqrt(F.sum("stddev_sum") / F.sum("n")).alias("stddev"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+
+
+def assemble_profile(
+    probs: DataFrame, stats: DataFrame, settings: Settings
+) -> DataFrame:
+    """TxMatrix + stats -> one profile document row per (series, metric)
+    (reference: counter.go:196-212, profiler.go:151-163).
+
+    transitions: map<ident, struct<nextProbs array<int>, probability int>>
+    with the full S-length nextProbs array (zeros included).
+    """
+    S = settings.states
+    per_ident = probs.groupBy(*SERIES_COLS, "metric", "ident").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("next_state"), F.col("prob_pct")))
+        ).alias("prob_map"),
+        F.max("step_prob").alias("probability"),
+    )
+    per_ident = per_ident.select(
+        *SERIES_COLS,
+        "metric",
+        "ident",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(S - 1)),
+            lambda s: F.coalesce(F.element_at(F.col("prob_map"), s), F.lit(0)),
+        ).alias("next_probs"),
+        "probability",
+    )
+    tx = per_ident.groupBy(*SERIES_COLS, "metric").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("ident"),
+                    F.struct(
+                        F.col("next_probs").alias("nextProbs"),
+                        F.col("probability").alias("probability"),
+                    ),
+                )
+            )
+        ).alias("transitions")
+    )
+    joined = tx.join(stats, SERIES_COLS + ["metric"], "inner")
+    return joined.select(
+        *SERIES_COLS,
+        "metric",
+        "transitions",
+        F.struct(
+            F.col("min"), F.col("max"), F.col("stddev"),
+            F.col("avg"), F.col("count"), F.col("stddev_sum").alias("stddevsum"),
+        ).alias("stats"),
+        F.to_json(
+            F.struct(
+                F.col("metric"),
+                F.col("transitions"),
+                F.struct(
+                    F.col("min"), F.col("max"), F.col("stddev"),
+                    F.col("avg"), F.col("count"),
+                    F.col("stddev_sum").alias("stddevsum"),
+                ).alias("stats"),
+            )
+        ).alias("profile_json"),
+    )

@@ -1,0 +1,61 @@
+"""End-to-end profile pipeline (scale mode).
+
+scan -> derive metric -> gap-fill -> bucketize -> chunk stats -> discretize
+-> transition counts -> probabilities -> profile rows. One lazy DataFrame
+plan; Catalyst fuses the projections, AQE sizes the shuffles. The only
+shuffles are (a) the spine join + windows keyed on conv_id and (b) the
+groupBys keyed on the series prefix — same key family, so exchanges reuse
+partitioning where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from tsprofiler_spark.config import Settings
+from tsprofiler_spark.operators.ingest import derive_series, gap_fill, gap_fill_series
+from tsprofiler_spark.operators.profile import (
+    assemble_profile,
+    bucketize,
+    chunk_stats,
+    series_stats,
+    transition_counts,
+    transition_probs,
+    with_state,
+)
+
+
+def profile_pipeline(
+    transcripts: DataFrame,
+    settings: Settings,
+    do_gap_fill: bool = True,
+    step_seconds: int = 60,
+) -> dict[str, DataFrame]:
+    """Return every intermediate stage keyed by name (lazily composed)."""
+    stages: dict[str, DataFrame] = {}
+    t = transcripts
+    if do_gap_fill:
+        t = gap_fill(transcripts, step_seconds=step_seconds)
+        stages["gap_filled"] = t
+        series = gap_fill_series(derive_series(t))
+    else:
+        series = derive_series(t)
+    stages["series"] = series
+    bucketed = bucketize(series, settings.buffer_size)
+    stages["bucketed"] = bucketed
+    chunks = chunk_stats(bucketed, settings)
+    stages["chunks"] = chunks
+    states = with_state(chunks, settings)
+    stages["states"] = states
+    counts = transition_counts(states, settings)
+    stages["counts"] = counts
+    probs = transition_probs(counts, settings)
+    stages["probs"] = probs
+    stats = series_stats(chunks, settings)
+    stages["stats"] = stats
+    stages["profile"] = assemble_profile(probs, stats, settings)
+    return stages
+
+
+def run_profile(transcripts: DataFrame, settings: Settings, **kw) -> DataFrame:
+    return profile_pipeline(transcripts, settings, **kw)["profile"]

@@ -1,0 +1,69 @@
+"""SparkSession factory with explicit scale-oriented configuration.
+
+All knobs the north_rule requires to be explicit (shuffle partitions, Arrow
+batching, AQE incl. skew handling, partition bytes) are set here in one
+place. Iceberg is wired in when its runtime jar is on the classpath
+(real clusters); this sandbox has no Iceberg jar, so `plans.storage`
+falls back to a parquet MERGE-emulation documented there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "tsprofiler-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = 65536,
+    extra_conf: dict | None = None,
+    warehouse: str | None = None,
+) -> SparkSession:
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cores, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if warehouse:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse)
+
+    # Iceberg wiring for real clusters (jar not present in this sandbox):
+    # spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:...
+    if os.environ.get("TSPROFILER_ICEBERG_CATALOG_PATH"):
+        builder = (
+            builder.config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config(
+                "spark.sql.catalog.local.warehouse",
+                os.environ["TSPROFILER_ICEBERG_CATALOG_PATH"],
+            )
+        )
+
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+
+    return builder.getOrCreate()
