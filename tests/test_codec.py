@@ -1,0 +1,52 @@
+"""Codec round-trip property tests (FIXTURES.md F5): encode->decode must be
+the identity on constant runs, ramps, random walks, and irregular gaps."""
+
+import numpy as np
+import pytest
+
+from tsprofiler_spark.codec import dod_decode, dod_encode, gorilla_decode, gorilla_encode
+
+rng = np.random.default_rng(42)
+
+FLOAT_CASES = [
+    np.array([], dtype=np.float64),
+    np.array([3.14159]),
+    np.full(1000, 42.0),
+    np.arange(0, 500, 0.5),
+    np.cumsum(rng.normal(0, 1, 2000)),
+    rng.uniform(-1e12, 1e12, 500),
+    np.array([0.0, -0.0, 1.5e-300, 1.7e308, -2.2e-308, 1.0, 1.0]),
+    np.round(rng.uniform(0, 128, 3000)),  # integer-ish (typical len_text avgs)
+]
+
+
+@pytest.mark.parametrize("case", range(len(FLOAT_CASES)))
+def test_gorilla_roundtrip(case):
+    vals = FLOAT_CASES[case]
+    out = gorilla_decode(gorilla_encode(vals))
+    np.testing.assert_array_equal(vals.view(np.uint64), out.view(np.uint64))
+
+
+TS_CASES = [
+    np.array([], dtype=np.int64),
+    np.array([1700000000]),
+    np.arange(1700000000, 1700005000, 60),  # perfectly regular -> ~0 bits/pt
+    np.cumsum(np.concatenate([[1700000000], rng.integers(1, 300, 5000)])),
+    np.cumsum(np.concatenate([[0], rng.integers(1, 10**12, 100)])),  # huge gaps
+]
+
+
+@pytest.mark.parametrize("case", range(len(TS_CASES)))
+def test_dod_roundtrip(case):
+    ts = TS_CASES[case]
+    np.testing.assert_array_equal(ts, dod_decode(dod_encode(ts)))
+
+
+def test_compression_ratio_on_regular_series():
+    # regular 60s cadence + slowly varying values must compress well
+    ts = np.arange(1700000000, 1700000000 + 60 * 5000, 60, dtype=np.int64)
+    vals = np.round(50 + 30 * np.sin(np.arange(5000) / 100))
+    blob_ts = dod_encode(ts)
+    blob_v = gorilla_encode(vals)
+    assert len(blob_ts) < 0.05 * ts.nbytes  # ~1 bit per regular timestamp
+    assert len(blob_v) < 0.5 * vals.nbytes
