@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship profile pipeline on sf0.001;
+`queries()` exposes every implemented operator; `oracle_sql()` provides
+the DuckDB-equivalent ANSI SQL for the driver's side-by-side compare.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full tsprofiler-style profile (root TxMatrix + stats per
+    (conv_id, tool, role) series) over transcripts derived from sf0.001."""
+    from pyspark.sql import functions as F
+
+    from tsprofiler_spark.plans.entry_queries import SETTINGS
+    from tsprofiler_spark.plans.pipeline import run_profile
+    from tsprofiler_spark.sources.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    profile = run_profile(t, SETTINGS, do_gap_fill=False)
+    return profile.select(
+        "conv_id", "tool", "role", "metric",
+        F.col("profile_json"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tsprofiler_spark.plans.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tsprofiler_spark.plans.entry_queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Local harness mimicking the driver's correctness gate: run each
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet tables, compare row count, schema width, and an order-insensitive
+value hash (stringified, column-name-sorted)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        s = v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+        return s.rstrip("0").rstrip(".") if "." in s else s
+    return str(v)
+
+
+def hash_rows(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main(only: list[str] | None = None):
+    from tsprofiler_spark.session import get_spark
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="check-oracle", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(srows)} rows")
+            continue
+        try:
+            ddf = con.sql(oracles[name])
+            drows = ddf.fetchall()
+            dcols = [d[0] for d in ddf.description]
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rows {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        else:
+            sh = hash_rows([tuple(r) for r in srows], scols)
+            dh = hash_rows(drows, dcols)
+            if sh != dh:
+                problems.append(f"hash {sh} vs {dh}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(srows)} rows match")
+    print(f"\n{failures} failures")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1:] or None) else 0)

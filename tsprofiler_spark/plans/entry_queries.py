@@ -1,0 +1,452 @@
+"""Driver-contract queries: Spark DataFrame builders + matching DuckDB
+oracle SQL, over the driver test tables.
+
+The profiler family derives the `input_hint`-shaped transcripts table from
+`events` via TRANSCRIPTS_FROM_EVENTS_SQL (same text on both engines), then
+exercises every pipeline stage. Column sets and names match the oracle SQL
+exactly; inexact-float columns are canonicalized to integer micro-units
+(floor(x*1e6 + 0.5)) on BOTH sides so value hashes compare.
+
+Profiler config for the driver checks: buffer_size=4, states=8, history=2,
+fixed bounds (0, 128) over metric len(text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.config import Settings
+from tsprofiler_spark.functions import closest_state_sql
+from tsprofiler_spark.operators.ingest import derive_series, gap_fill, gap_fill_series
+from tsprofiler_spark.operators.profile import (
+    bucketize,
+    chunk_stats,
+    series_stats,
+    transition_counts,
+    transition_probs,
+    with_state,
+)
+from tsprofiler_spark.operators.rollup import (
+    build_tiers,
+    tier_transitions,
+)
+from tsprofiler_spark.operators.compress import compress_points, decompress_points
+from tsprofiler_spark.sources.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    transcripts_from_events,
+)
+
+SETTINGS = Settings(
+    buffer_size=4,
+    states=8,
+    history=2,
+    fix_bound=True,
+    fixed_min=0.0,
+    fixed_max=128.0,
+)
+
+SERIES = "conv_id, tool, role"
+_STATE_SQL = closest_state_sql("chunk_avg", SETTINGS.states, 0.0, 128.0)
+_TIER_STATE_SQL = closest_state_sql("s1 / n", SETTINGS.states, 0.0, 128.0)
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE chain (DuckDB dialect == Spark-compatible subset)
+# ---------------------------------------------------------------------------
+
+_CTE_SERIES = f"""
+transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  SELECT conv_id, tool, role, turn_idx, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+bucketed AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY {SERIES}, metric ORDER BY ts, turn_idx) - 1 AS seq
+  FROM series
+),
+chunks0 AS (
+  SELECT {SERIES}, metric, CAST(FLOOR(seq / {SETTINGS.buffer_size}) AS BIGINT) AS bucket_idx,
+         COUNT(value) AS n, SUM(value) AS s1, SUM(value * value) AS s2,
+         SUM(value) / COUNT(value) AS chunk_avg, MIN(ts) AS bucket_start
+  FROM bucketed
+  GROUP BY {SERIES}, metric, CAST(FLOOR(seq / {SETTINGS.buffer_size}) AS BIGINT)
+),
+chunks AS (
+  SELECT *, COALESCE(
+      SUM(s1) OVER (PARTITION BY {SERIES}, metric ORDER BY bucket_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      / SUM(n) OVER (PARTITION BY {SERIES}, metric ORDER BY bucket_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0.0) AS current_avg
+  FROM chunks0
+  WHERE n = {SETTINGS.buffer_size}
+),
+states AS (
+  SELECT *, {_STATE_SQL} AS state,
+         (s2 - chunk_avg * s1 - current_avg * s1 + n * current_avg * chunk_avg)
+           AS stddev_sum
+  FROM chunks
+),
+lagged AS (
+  SELECT {SERIES}, metric, bucket_idx, state,
+    COALESCE(LAG(state, 1) OVER (PARTITION BY {SERIES}, metric ORDER BY bucket_idx), 0) AS l1,
+    COALESCE(LAG(state, 2) OVER (PARTITION BY {SERIES}, metric ORDER BY bucket_idx), 0) AS l2
+  FROM states
+),
+tx_events AS (
+  SELECT {SERIES}, metric, concat_ws('-', l2, l1) AS ident, state AS next_state FROM lagged
+  UNION ALL
+  SELECT {SERIES}, metric, CAST(l1 AS STRING) AS ident, state AS next_state FROM lagged
+),
+tx_counts AS (
+  SELECT {SERIES}, metric, ident, next_state, COUNT(*) AS cnt
+  FROM tx_events GROUP BY {SERIES}, metric, ident, next_state
+)
+""".strip()
+
+
+def _q(sql_body: str) -> str:
+    return f"WITH {_CTE_SERIES}\n{sql_body}"
+
+
+ORACLE: dict[str, str] = {}
+QUERIES: dict = {}
+
+
+def _register(name: str, fn, oracle: str | None):
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLE[name] = oracle
+
+
+_U = "CAST(FLOOR({x} * 1000000 + 0.5) AS BIGINT)"
+
+
+def _micro(col: F.Column):
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+# --- q: transcripts_ingest ---------------------------------------------------
+
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(spark, sf_dir)
+
+
+_register(
+    "transcripts_ingest",
+    q_transcripts,
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+)
+
+# --- q: gap_fill --------------------------------------------------------------
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    sparse = t.where(F.col("turn_idx") % 7 != 3)
+    out = gap_fill(sparse, step_seconds=60)
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col("is_filled").cast("int").alias("is_filled"),
+    )
+
+
+_register(
+    "gap_fill",
+    q_gap_fill,
+    f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+sparse AS (SELECT * FROM transcripts WHERE turn_idx % 7 != 3),
+agg AS (
+  SELECT conv_id, MAX(turn_idx) AS max_turn, MIN(ts) AS min_ts,
+         MIN(turn_idx) AS min_turn
+  FROM sparse GROUP BY conv_id
+),
+spine AS (
+  SELECT conv_id, min_ts, min_turn,
+         unnest(generate_series(0, max_turn)) AS turn_idx
+  FROM agg
+),
+joined AS (
+  SELECT s.conv_id, s.turn_idx, t.role, t.text, t.tool, t.ts,
+         s.min_ts, s.min_turn
+  FROM spine s LEFT JOIN sparse t USING (conv_id, turn_idx)
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+  COALESCE(role, last_value(role IGNORE NULLS) OVER w) AS role,
+  text,
+  COALESCE(tool, last_value(tool IGNORE NULLS) OVER w) AS tool,
+  COALESCE(ts, min_ts + to_seconds((turn_idx - min_turn) * 60)) AS ts,
+  CAST(text IS NULL AS INT) AS is_filled
+FROM joined
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""".strip(),
+)
+
+# --- q: chunk_states ------------------------------------------------------------
+
+def _states_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    series = derive_series(t)
+    chunks = chunk_stats(bucketize(series, SETTINGS.buffer_size), SETTINGS)
+    return with_state(chunks, SETTINGS)
+
+
+def q_chunk_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _states_df(spark, sf_dir).select(
+        "conv_id", "tool", "role", "metric", "bucket_idx", "bucket_start",
+        "n", "s1", "chunk_avg", "current_avg", "state",
+        _micro(F.col("stddev_sum")).alias("stddev_sum_u"),
+    )
+
+
+_register(
+    "chunk_states",
+    q_chunk_states,
+    _q(
+        f"""
+SELECT {SERIES}, metric, bucket_idx, bucket_start, n, s1, chunk_avg,
+       current_avg, state,
+       {_U.format(x='stddev_sum')} AS stddev_sum_u
+FROM states
+""".strip()
+    ),
+)
+
+# --- q: transition_counts -------------------------------------------------------
+
+def q_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transition_counts(_states_df(spark, sf_dir), SETTINGS).select(
+        "conv_id", "tool", "role", "metric", "ident", "next_state", "cnt"
+    )
+
+
+_register(
+    "transition_counts",
+    q_transition_counts,
+    _q(f"SELECT {SERIES}, metric, ident, next_state, cnt FROM tx_counts"),
+)
+
+# --- q: transition_probs --------------------------------------------------------
+
+def q_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = transition_counts(_states_df(spark, sf_dir), SETTINGS)
+    return transition_probs(counts, SETTINGS).select(
+        "conv_id", "tool", "role", "metric", "ident", "next_state",
+        "cnt", "prob_pct", "step_prob",
+    )
+
+
+_register(
+    "transition_probs",
+    q_transition_probs,
+    _q(
+        f"""
+SELECT {SERIES}, metric, ident, next_state, cnt,
+  CAST(FLOOR(100.0 * cnt / (SUM(cnt) OVER w_row) + 0.5) AS INT) AS prob_pct,
+  CAST(FLOOR(100.0 * (SUM(cnt) OVER w_row)
+       / ((SUM(cnt) OVER w_all) / {SETTINGS.history}) + 0.5) AS INT) AS step_prob
+FROM tx_counts
+WINDOW
+  w_row AS (PARTITION BY {SERIES}, metric, ident),
+  w_all AS (PARTITION BY {SERIES}, metric)
+""".strip()
+    ),
+)
+
+# --- q: series_stats -------------------------------------------------------------
+
+def q_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = _states_df(spark, sf_dir)
+    stats = series_stats(chunks, SETTINGS)
+    return stats.select(
+        "conv_id", "tool", "role", "metric", "count",
+        F.col("min"), F.col("max"), F.col("avg"),
+        _micro(F.col("stddev_sum")).alias("stddev_sum_u"),
+        "n_chunks",
+    )
+
+
+_register(
+    "series_stats",
+    q_series_stats,
+    _q(
+        f"""
+SELECT {SERIES}, metric, SUM(n) AS count,
+       CAST({SETTINGS.fixed_min} AS DOUBLE) AS min,
+       CAST({SETTINGS.fixed_max} AS DOUBLE) AS max,
+       SUM(s1) / SUM(n) AS avg,
+       {_U.format(x='SUM(stddev_sum)')} AS stddev_sum_u,
+       COUNT(*) AS n_chunks
+FROM states GROUP BY {SERIES}, metric
+""".strip()
+    ),
+)
+
+# --- q: rollup tiers ---------------------------------------------------------------
+
+_TIER_SQL_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+
+def _tier_df(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    t = transcripts_from_events(spark, sf_dir)
+    return build_tiers(derive_series(t), SETTINGS)
+
+
+def _q_rollup(tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _tier_df(spark, sf_dir)[tier]
+        return df.select(
+            "conv_id", "tool", "role", "metric", "bucket_start",
+            "n", "s1", "vmin", "vmax", "avg", "state",
+            _micro(F.coalesce(F.col("stddev"), F.lit(-1.0))).alias("stddev_u"),
+        )
+
+    return q
+
+
+for _tier, _trunc in _TIER_SQL_TRUNC.items():
+    _register(
+        f"rollup_{_tier}",
+        _q_rollup(_tier),
+        f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  SELECT conv_id, tool, role, turn_idx, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+tier AS (
+  SELECT {SERIES}, metric, CAST(date_trunc('{_trunc}', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(value) AS n, SUM(value) AS s1, SUM(value * value) AS s2,
+         MIN(value) AS vmin, MAX(value) AS vmax
+  FROM series GROUP BY {SERIES}, metric, date_trunc('{_trunc}', ts)
+)
+SELECT {SERIES}, metric, bucket_start, n, s1, vmin, vmax,
+  s1 / n AS avg, {_TIER_STATE_SQL} AS state,
+  {_U.format(x=("COALESCE(CASE WHEN n > 1 THEN SQRT(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0)) END, -1.0)"))} AS stddev_u
+FROM tier
+""".strip(),
+    )
+
+# --- q: tier transitions (1h) --------------------------------------------------------
+
+def q_tier_tx_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiers = _tier_df(spark, sf_dir)
+    return tier_transitions(tiers["1h"], SETTINGS).select(
+        "conv_id", "tool", "role", "metric", "ident", "next_state",
+        "cnt", "prob_pct", "step_prob",
+    )
+
+
+_register(
+    "tier_tx_1h",
+    q_tier_tx_1h,
+    f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  SELECT conv_id, tool, role, turn_idx, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+tier AS (
+  SELECT {SERIES}, metric, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(value) AS n, SUM(value) AS s1
+  FROM series GROUP BY {SERIES}, metric, date_trunc('hour', ts)
+),
+st AS (
+  SELECT {SERIES}, metric, bucket_start, {_TIER_STATE_SQL} AS state FROM tier
+),
+lagged AS (
+  SELECT {SERIES}, metric,
+    CAST(COALESCE(LAG(state) OVER (PARTITION BY {SERIES}, metric ORDER BY bucket_start), 0) AS STRING) AS ident,
+    state AS next_state
+  FROM st
+),
+cnts AS (
+  SELECT {SERIES}, metric, ident, next_state, COUNT(*) AS cnt
+  FROM lagged GROUP BY {SERIES}, metric, ident, next_state
+)
+SELECT {SERIES}, metric, ident, next_state, cnt,
+  CAST(FLOOR(100.0 * cnt / (SUM(cnt) OVER w_row) + 0.5) AS INT) AS prob_pct,
+  CAST(FLOOR(100.0 * (SUM(cnt) OVER w_row) / (SUM(cnt) OVER w_all) + 0.5) AS INT) AS step_prob
+FROM cnts
+WINDOW
+  w_row AS (PARTITION BY {SERIES}, metric, ident),
+  w_all AS (PARTITION BY {SERIES}, metric)
+""".strip(),
+)
+
+# --- q: codec round-trip ---------------------------------------------------------------
+
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiers = _tier_df(spark, sf_dir)
+    compressed = compress_points(tiers["1m"])
+    return decompress_points(compressed).select(
+        "conv_id", "tool", "role", "metric", "bucket_start", "avg"
+    )
+
+
+_register(
+    "codec_roundtrip",
+    q_codec_roundtrip,
+    f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  SELECT conv_id, tool, role, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+)
+SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+       SUM(value) / COUNT(value) AS avg
+FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
+""".strip(),
+)
+
+# --- q: retention expiry -----------------------------------------------------------------
+
+def q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiers = _tier_df(spark, sf_dir)
+    t1m = tiers["1m"]
+    wm = t1m.agg(F.max("bucket_start")).collect()[0][0]
+    from tsprofiler_spark.operators.rollup import apply_ttl
+
+    kept = apply_ttl(t1m, "1m", {"1m": {"ttl_days": 7}}, wm)
+    return kept.select("conv_id", "tool", "role", "metric", "bucket_start", "n", "s1")
+
+
+_register(
+    "retention_expiry",
+    q_retention_expiry,
+    f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  SELECT conv_id, tool, role, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+tier AS (
+  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(value) AS n, SUM(value) AS s1
+  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
+),
+wm AS (SELECT MAX(bucket_start) AS w FROM tier)
+SELECT {SERIES}, metric, bucket_start, n, s1
+FROM tier, wm
+WHERE bucket_start >= w - INTERVAL 7 DAYS
+""".strip(),
+)

@@ -1,0 +1,78 @@
+"""Parity mode: bit-exact reference semantics per series via applyInPandas.
+
+The order-dependent/lossy reference behaviors — dynamic-bound grid rescale
+(utils/txdimension.go), period-tree snapshot merge (period.go:137-177),
+phase detection (phase.go:64-206) — are not distributive, so they run as a
+sequential fold per series inside an Arrow-batched `applyInPandas` kernel
+(vectorized numpy inside the kernel, no per-row Python against Spark rows).
+
+At 100 TB this parallelizes across series (10^6+ conversations): each group
+is one conversation-series, state is O(states² · phases), and groups are
+hash-distributed by conv_id — the same partitioning the scale-mode
+pipeline uses, so no extra shuffle when chained.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tsprofiler_spark.config import Settings
+from tsprofiler_spark.operators.ingest import SERIES_COLS
+
+PARITY_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("tool", StringType()),
+        StructField("role", StringType()),
+        StructField("profile_json", StringType()),
+        StructField("history_json", StringType()),
+        StructField("current_phase", IntegerType()),
+        StructField("period_path_json", StringType()),
+    ]
+)
+
+
+def parity_profiles(series: DataFrame, settings: Settings) -> DataFrame:
+    """One full reference profile per (conv_id, tool, role) series.
+
+    Input: the `derive_series` long format (turn_idx, ts, metric, value).
+    Multi-metric turns are grouped on (ts, turn_idx) so each put() carries
+    every metric of that turn, exactly like the reference's TSInput.
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from tsprofiler_spark.kernel.profiler import ReferenceProfiler
+
+        pdf = pdf.sort_values(["ts", "turn_idx", "metric"], kind="mergesort")
+        prof = ReferenceProfiler(settings)
+        # group rows into turns: consecutive rows sharing (ts, turn_idx)
+        for (_, _), turn in pdf.groupby(["ts", "turn_idx"], sort=True):
+            prof.put(list(zip(turn["metric"], turn["value"])))
+        doc = prof.get_profile()
+        hist = prof.get_history()
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": first["conv_id"],
+                    "tool": first["tool"],
+                    "role": first["role"],
+                    "profile_json": json.dumps(doc, sort_keys=True),
+                    "history_json": json.dumps(hist, sort_keys=True),
+                    "current_phase": prof.get_current_phase(),
+                    "period_path_json": json.dumps(prof.get_current_period_path()),
+                }
+            ]
+        )
+
+    return series.groupBy(*SERIES_COLS).applyInPandas(fold, PARITY_SCHEMA)

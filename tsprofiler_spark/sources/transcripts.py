@@ -27,7 +27,7 @@ from tsprofiler_spark.sources.tables import load_table
 # the numeric `value` as padding so length(text) carries the series dynamics.
 TRANSCRIPTS_FROM_EVENTS_SQL = """
 SELECT
-  concat('conv-', lpad(CAST(user_id AS VARCHAR), 4, '0'))           AS conv_id,
+  concat('conv-', lpad(CAST(user_id AS STRING), 4, '0'))            AS conv_id,
   CAST(seq AS INT)                                                  AS turn_idx,
   CASE CAST(seq % 3 AS INT)
     WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END      AS role,
