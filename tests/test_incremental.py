@@ -1,0 +1,84 @@
+"""Resumability / MERGE idempotency (FIXTURES.md F6): split-run == single
+run; re-running the same window is a no-op."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.config import Settings
+from tsprofiler_spark.plans.retention import incremental_run
+from tsprofiler_spark.plans.storage import RollupStore
+from tsprofiler_spark.sources.transcripts import synthesize_transcripts
+
+SETTINGS = Settings(fix_bound=True, fixed_min=0.0, fixed_max=128.0, states=6)
+
+
+def _tier_rows(store, tier):
+    df = store.read_tier(tier)
+    return sorted(
+        (r.conv_id, r.tool, r.role, r.metric, str(r.bucket_start), r.n, r.s1, r.vmin, r.vmax)
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def transcripts(spark):
+    return synthesize_transcripts(
+        spark, n_convs=6, max_turns=400, seed=5, step_seconds=600
+    ).cache()
+
+
+def test_split_run_equals_single_run(spark, transcripts, tmp_path):
+    cutoff = transcripts.agg(F.expr("percentile(cast(ts as double), 0.5)")).collect()[0][0]
+    t1 = transcripts.where(F.col("ts").cast("double") <= cutoff)
+    t2 = transcripts  # run 2 sees everything; watermark filters to the delta
+
+    split_store = RollupStore(spark, str(tmp_path / "split"))
+    r1 = incremental_run(t1, split_store, SETTINGS, expire=False)
+    assert r1["new_rows"] > 0
+    r2 = incremental_run(t2, split_store, SETTINGS, expire=False)
+    assert r2["new_rows"] > 0
+
+    single_store = RollupStore(spark, str(tmp_path / "single"))
+    incremental_run(transcripts, single_store, SETTINGS, expire=False)
+
+    for tier in ("1m", "1h", "1d"):
+        assert _tier_rows(split_store, tier) == _tier_rows(single_store, tier), tier
+
+
+def test_rerun_is_noop(spark, transcripts, tmp_path):
+    store = RollupStore(spark, str(tmp_path / "s"))
+    incremental_run(transcripts, store, SETTINGS, expire=False)
+    before = {t: _tier_rows(store, t) for t in ("1m", "1h", "1d")}
+    again = incremental_run(transcripts, store, SETTINGS, expire=False)
+    assert again["new_rows"] == 0
+    for t in ("1m", "1h", "1d"):
+        assert _tier_rows(store, t) == before[t]
+
+
+def test_manifest_lineage(spark, transcripts, tmp_path):
+    store = RollupStore(spark, str(tmp_path / "s"))
+    res = incremental_run(transcripts, store, SETTINGS, expire=False)
+    assert os.path.exists(store.manifest.path)
+    m = RollupStore(spark, str(tmp_path / "s")).manifest
+    assert m.watermark is not None
+    assert len(m.runs) == 1
+    parts = m.runs[0]["partitions"]
+    assert parts and all(p["rows"] > 0 and p["bytes"] > 0 for p in parts)
+    tiers = {p["tier"] for p in parts}
+    assert tiers == {"1m", "1h", "1d"}
+
+
+def test_ttl_expiry_drops_old_partitions(spark, transcripts, tmp_path):
+    store = RollupStore(spark, str(tmp_path / "s"))
+    incremental_run(
+        transcripts,
+        store,
+        SETTINGS,
+        tiers_cfg={"1m": {"ttl_days": 1}, "1h": {"ttl_days": 365}, "1d": {"ttl_days": 365}},
+        expire=True,
+    )
+    kept_1m = {d[4:] for d in os.listdir(str(tmp_path / "s" / "tier=1m"))}
+    all_days = {d[4:] for d in os.listdir(str(tmp_path / "s" / "tier=1h"))}
+    assert len(kept_1m) < len(all_days)  # 1m tier expired, 1h kept

