@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "rolled_points": N, "points_per_sec": N}
+
+Headline queries:
+  synth_generate   distributed transcript synthesis (~1.6M turns)
+  profile_full     full profiler pipeline (gap-fill -> txmatrix profiles)
+  tiers_merge      incremental retention run: 1m/1h/1d MERGE + manifest
+  codec_compress   Gorilla+DoD compression of the 1m tier
+  parity_fold      applyInPandas reference-kernel fold (sampled series)
+  events_family    the driver-checked query family on $SF_DIR events
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_CONVS = int(os.environ.get("BENCH_CONVS", "4000"))
+SYNTH_TURNS = int(os.environ.get("BENCH_TURNS", "450"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from tsprofiler_spark.config import Settings
+    from tsprofiler_spark.operators.compress import compress_points
+    from tsprofiler_spark.operators.ingest import derive_series
+    from tsprofiler_spark.operators.rollup import build_tiers
+    from tsprofiler_spark.plans.parity import parity_profiles
+    from tsprofiler_spark.plans.pipeline import run_profile
+    from tsprofiler_spark.plans.retention import incremental_run
+    from tsprofiler_spark.plans.storage import RollupStore
+    from tsprofiler_spark.session import get_spark
+    from tsprofiler_spark.sources.transcripts import synthesize_transcripts
+
+    spark = get_spark(app_name="tsprofiler-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    settings = Settings(
+        buffer_size=10, states=10, history=1,
+        fix_bound=True, fixed_min=0.0, fixed_max=128.0,
+    )
+
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1. synthesis (fully JVM-side, no Python in the data path)
+    synth = synthesize_transcripts(
+        spark, n_convs=SYNTH_CONVS, max_turns=SYNTH_TURNS, seed=42,
+        zipf=False, step_seconds=60,
+    ).persist()
+    counters["synth_rows"] = timed("synth_generate", synth.count)
+
+    series = derive_series(synth)
+
+    # 2. full profile pipeline (gap-fill -> chunk stats -> states -> tx -> profile)
+    profile = run_profile(synth, settings, do_gap_fill=True, step_seconds=60)
+    counters["profiles"] = timed("profile_full", profile.count)
+
+    # 3. retention tiers: incremental MERGE run with manifest + lineage
+    tmp = tempfile.mkdtemp(prefix="bench-tiers-")
+    store = RollupStore(spark, tmp)
+    res = timed("tiers_merge", lambda: incremental_run(synth, store, settings, expire=False))
+    rolled = sum(p["rows"] for p in res["partitions"])
+    counters["rolled_points"] = rolled
+
+    # 4. codec: compress the 1m tier
+    tiers = build_tiers(series, settings)
+    compressed = compress_points(tiers["1m"])
+    counters["codec_segments"] = timed(
+        "codec_compress", lambda: compressed.agg(F.sum("n_points")).collect()[0][0]
+    )
+
+    # 5. parity fold on a sample of series (reference kernel via applyInPandas)
+    sample = series.where(F.crc32(F.col("conv_id")) % 20 == 0)
+    psettings = Settings(
+        buffer_size=10, states=10, history=1, fix_bound=True,
+        fixed_min=0.0, fixed_max=128.0, period_size=(24,),
+        phase_change_likeliness=0.5, phase_change_history=4,
+    )
+    counters["parity_profiles"] = timed(
+        "parity_fold", lambda: parity_profiles(sample, psettings).count()
+    )
+
+    # 6. the driver-checked family on real events data
+    from tsprofiler_spark.plans.entry_queries import QUERIES
+
+    def events_family():
+        total = 0
+        for name in ("chunk_states", "transition_probs", "rollup_1h", "tier_tx_1h"):
+            total += QUERIES[name](spark, SF_DIR).count()
+        return total
+
+    counters["events_family_rows"] = timed("events_family", events_family)
+
+    synth.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    points_per_sec = round(rolled / timings["tiers_merge"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "tsprofiler-spark headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "counters": counters,
+                "rolled_points": rolled,
+                "points_per_sec": points_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,6 @@ import json
 import os
 import shutil
 import time
-import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,27 +110,29 @@ class RollupStore:
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
         )
-        # overwrite ONLY the affected day partitions (Iceberg: MERGE INTO /
-        # dynamic partition overwrite)
-        staged = merged.repartition("day").persist()
-        staged.count()
+        # overwrite ONLY the affected day partitions in ONE write job
+        # (Iceberg: MERGE INTO / dynamic partition overwrite)
+        staged = merged.persist()
+        per_day = {
+            r.day: r.rows
+            for r in staged.groupBy("day").agg(F.count(F.lit(1)).alias("rows")).collect()
+        }
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        staged.repartition("day").write.partitionBy("day").mode("overwrite").parquet(
+            self._tier_path(tier)
+        )
+        staged.unpersist()
         lineage = []
         for day in affected:
             part_path = os.path.join(self._tier_path(tier), f"day={day}")
-            day_df = staged.where(F.col("day") == day).drop("day")
-            tmp = part_path + f".staging-{uuid.uuid4().hex[:8]}"
-            day_df.write.mode("overwrite").parquet(tmp)
-            if os.path.isdir(part_path):
-                shutil.rmtree(part_path)
-            os.replace(tmp, part_path)
-            rows = day_df.count()
             size = sum(
                 os.path.getsize(os.path.join(dp, f))
                 for dp, _, fs in os.walk(part_path)
                 for f in fs
             )
-            lineage.append({"tier": tier, "day": day, "rows": rows, "bytes": size})
-        staged.unpersist()
+            lineage.append(
+                {"tier": tier, "day": day, "rows": per_day.get(day, 0), "bytes": size}
+            )
         return lineage
 
     def expire(self, tier: str, ttl_days: int) -> list[str]:
