@@ -35,11 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tsprofiler_spark.plans.entry_queries import QUERIES
+    from tsprofiler_spark.plans.entry_queries_pipeline import PIPELINE_QUERIES
 
-    return dict(QUERIES)
+    return {**QUERIES, **PIPELINE_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     from tsprofiler_spark.plans.entry_queries import ORACLE
+    from tsprofiler_spark.plans.entry_queries_pipeline import PIPELINE_ORACLE
 
-    return dict(ORACLE)
+    return {**ORACLE, **PIPELINE_ORACLE}

@@ -1,0 +1,110 @@
+"""Dedup / similarity / text / multimodal operator behavior tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.operators.dedup import (
+    dedup_exact,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from tsprofiler_spark.operators.multimodal import (
+    attach_payload,
+    decode_features,
+    sample_frames,
+)
+from tsprofiler_spark.operators.similarity import ann_topk, brute_force_topk
+from tsprofiler_spark.operators.textops import language_id, quality_scores, token_counts
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # add exact dups and near-dups with known ids
+    dup = base.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = base.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_dedup_exact_finds_planted_dups(docs):
+    groups = dedup_exact(docs)
+    dup_groups = groups.where(F.col("n_copies") >= 2)
+    assert dup_groups.count() >= 5
+    # keeper is always the smallest id (the original)
+    assert dup_groups.where(F.col("keeper_id") >= 100000).count() == 0
+
+
+def test_minhash_candidates_cover_planted_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_candidates(docs, k=12).collect()}
+    base_ids = [r.doc_id for r in docs.where(F.col("doc_id") < 100000).limit(5).collect()]
+    covered = sum(
+        1
+        for b in base_ids
+        if (b, b + 100000) in pairs or (b, b + 200000) in pairs
+    )
+    assert covered >= 4  # exact dups always collide; near-dups almost always
+
+
+def test_ngram_jaccard_on_planted_near_dups(docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    found = {(r.doc_a, r.doc_b): r.jaccard_u for r in pairs}
+    exact = [(k, v) for k, v in found.items() if k[0] < 100000 and k[1] - k[0] == 100000]
+    assert len(exact) >= 5
+    assert all(v == 1000000 for _, v in exact)  # identical text -> jaccard 1
+
+
+def test_simhash_near_dups_have_small_hamming(docs):
+    sh = {r.doc_id: int(r.simhash) for r in simhash(docs).collect()}
+    for base_id in [k for k in sh if k + 200000 in sh][:5]:
+        ham = bin(sh[base_id] ^ sh[base_id + 200000]).count("1")
+        assert ham <= 6, (base_id, ham)
+
+
+def test_ann_recall_vs_brute_force(embs):
+    brute = brute_force_topk(embs, k=10, query_mod=50)
+    approx = ann_topk(embs, k=10, query_mod=50, n_planes=3)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.4  # multi-probe LSH on near-uniform vectors
+    # every ANN result's cosine must equal the brute-force cosine (exactness
+    # of scoring; approximation only affects candidate coverage)
+    bcos = {(r.query_id, r.neighbor_id): r.cosine_u for r in brute.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in bcos:
+            assert bcos[(r.query_id, r.neighbor_id)] == r.cosine_u
+
+
+def test_textops_sanity(docs):
+    tq = quality_scores(docs.where(F.col("doc_id") < 100000))
+    row = tq.orderBy("doc_id").first()
+    assert 0 <= row.quality_u <= 1000000
+    tc = token_counts(docs).first()
+    assert tc.n_bpe_pieces >= tc.n_tokens  # >=1 piece per token
+    li = language_id(docs)
+    assert li.where(F.col("lang_pred").isin("en", "unk")).count() == li.count()
+
+
+def test_multimodal_plumbing(docs):
+    payloads = attach_payload(docs.limit(20), "image")
+    feats = decode_features(payloads).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r.decoder == "stub-bytehist"  # container has no PIL
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-9
+    frames = sample_frames(attach_payload(docs.limit(5), "video")).collect()
+    assert all(len(r.frame_bytes) <= 64 for r in frames)
+    assert {r.doc_id for r in frames} == {r.doc_id for r in docs.limit(5).collect()}

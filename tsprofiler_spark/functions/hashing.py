@@ -1,0 +1,25 @@
+"""Cross-engine deterministic hashing.
+
+``h32(s)`` = first 8 hex chars of md5 as an unsigned 32-bit integer —
+identical in Spark (`conv(substr(md5(x),1,8),16,10)`) and DuckDB
+(`CAST(concat('0x', substr(md5(x),1,8)) AS UBIGINT)`), which keeps every
+hash-based pipeline operator oracle-comparable. md5 here is a content
+fingerprint, not a security primitive.
+
+At scale, swap for xxhash64 (Spark-native, faster) when oracle parity is
+not needed — the operators take the hash expression as a parameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def h32(c: Column) -> Column:
+    """Unsigned 32-bit hash of a string column (JVM-side)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def h32_sql_duckdb(expr: str) -> str:
+    return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 8)) AS UBIGINT) AS BIGINT)"

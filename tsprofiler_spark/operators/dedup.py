@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four strategies over the `documents` table, all pure DataFrame expressions
+(JVM-side, no Python in the data path):
+
+* exact       — md5(text) hash-groupBy; the cheapest pass, always first.
+* minhash+LSH — word-shingle MinHash signatures banded into LSH buckets;
+                candidate pairs come from bucket joins only (never the
+                full O(n²) cross join) — this is the 100 TB path.
+* simhash     — 32-bit sign-aggregated token-hash fingerprint; near-dups
+                differ in few bits.
+* n-gram Jaccard — exact shingle-set similarity on candidate pairs; the
+                verifier stage after LSH (here exposed standalone via a
+                shingle-join for oracle comparability at test scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.functions.hashing import h32
+
+
+def _word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (size - n + 1
+    shingles; empty array for texts shorter than n words)."""
+    words = F.split(F.lower(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + F.lit(j + 1)) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, shingles).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: one keeper (min doc_id) per md5(text)."""
+    return documents.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    return documents.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = 12, n: int = 3) -> DataFrame:
+    """k MinHash values per doc: min over shingles of h32(j || ':' || shingle).
+
+    Shuffle profile: one explode + one groupBy(doc_id) — linear in corpus
+    size, independent of pair count.
+    """
+    sh = doc_shingles(documents, n)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(k)])
+        ).alias("j"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "j",
+        h32(F.concat_ws(":", F.col("j").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
+    """Band the signature: band_id = j / r, band_hash = joined minhashes.
+    Docs sharing (band_id, band_hash) are LSH candidates."""
+    with_band = signatures.withColumn(
+        "band_id", (F.col("j") / rows_per_band).cast("int")
+    )
+    return with_band.groupBy("doc_id", "band_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "minhash"))),
+                lambda x: x.minhash.cast("string"),
+            ),
+        ).alias("band_hash")
+    )
+
+
+def minhash_candidates(documents: DataFrame, k: int = 12, rows_per_band: int = 3) -> DataFrame:
+    """Candidate near-dup pairs from LSH bucket joins (a < b)."""
+    bands = lsh_bands(minhash_signatures(documents, k), rows_per_band)
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per bit, sign-sum of token-hash bits."""
+    tokens = documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    hashed = tokens.select("doc_id", h32(F.col("token")).alias("h"))
+    per_bit = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(
+            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("bigint") % 2) == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("sign"),
+    )
+    bit_sums = per_bit.groupBy("doc_id", "bit").agg(F.sum("sign").alias("s"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard over shingle joins: |A∩B| / |A∪B| >= threshold.
+
+    Intended as the LSH verifier; standalone it joins on shared shingles,
+    so cost is bounded by true overlap, not n². Jaccard is emitted in
+    integer micro-units for cross-engine hash parity.
+    """
+    sh = doc_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    joined = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+    )
+    return joined.where(F.col("jaccard") >= threshold).select(
+        "doc_a",
+        "doc_b",
+        "common",
+        "na",
+        "nb",
+        F.floor(F.col("jaccard") * 1000000 + F.lit(0.5)).cast("long").alias("jaccard_u"),
+    )

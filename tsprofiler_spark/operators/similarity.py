@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query set
+  against the corpus; dot products via zip_with/aggregate (JVM-side, no
+  Python). The correctness baseline.
+* lsh_buckets / ann_topk — random-hyperplane LSH: deterministic
+  pseudo-random planes from h32(plane, dim), signature = sign-bit int.
+  The scale path: candidates only from matching buckets (multi-probe via
+  allowing Hamming-adjacent buckets is a natural extension), so the join
+  is bucket-local instead of O(n·q).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.functions.hashing import h32
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_mod: int = 100,
+) -> DataFrame:
+    """Exact top-k neighbors for query vectors (vec_id % query_mod == 0).
+
+    The query side is tiny -> broadcast join; corpus side streams once.
+    Ties break on neighbor id for determinism.
+    """
+    base = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    queries = base.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr(F.col("q_emb"), F.col("emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias("cosine_u"),
+        )
+    )
+
+
+def _plane_weight(plane: int, dim: int):
+    """Deterministic pseudo-random weight in [-1, 1): (h32 % 2001 - 1000)/1000."""
+    h = h32(F.concat_ws("-", F.lit(str(plane)), F.lit(str(dim))))
+    return ((h % 2001) - 1000) / F.lit(1000.0)
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = 12, dim: int = 64) -> DataFrame:
+    """Random-hyperplane signature as a bucket integer per vector."""
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    bucket = None
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("emb"),
+                F.array(*[_plane_weight(p, d) for d in range(dim)]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return base.select("vec_id", bucket.cast("bigint").alias("bucket"))
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_mod: int = 100,
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: brute-force cosine *within* LSH buckets only.
+
+    Multi-probe: each query also probes every bucket within Hamming
+    distance ``multiprobe`` of its own signature (standard LSH trick —
+    boosts recall without growing the index). Candidate cost is
+    (1 + n_planes) per query at multiprobe=1 versus n·q for brute force.
+    """
+    buckets = lsh_buckets(embeddings, n_planes, dim)
+    base = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    ).join(buckets, "vec_id")
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *([F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+          if multiprobe >= 1 else []),
+    )
+    queries = (
+        base.where(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.explode(probe_buckets).alias("q_bucket"),
+        )
+    )
+    pairs = base.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr(F.col("q_emb"), F.col("emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias("cosine_u"))
+    )

@@ -1,0 +1,118 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All JVM-side expressions (regex + array ops) so
+they run identically as DuckDB oracle SQL and survive 100 TB scans without
+Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.functions.hashing import h32
+
+# tiny deterministic stopword lists for the n-gram language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "es", "un", "para"],
+}
+
+
+def _tokens(text_col):
+    return F.split(F.lower(text_col), " ")
+
+
+def _stop_hits(tokens, words: list[str]):
+    return F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish sub-word pieces (regex split on
+    non-alnum + 4-char rolling pieces approximating byte-pair granularity)."""
+    tokens = _tokens(F.col("text"))
+    word_tokens = F.size(tokens)
+    distinct_tokens = F.size(F.array_distinct(tokens))
+    # BPE-ish: ceil(len(token)/4) pieces per token, summed
+    bpe_pieces = F.aggregate(
+        tokens,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"),
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        word_tokens.alias("n_tokens"),
+        distinct_tokens.alias("n_distinct_tokens"),
+        bpe_pieces.alias("n_bpe_pieces"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, mean token length, stopword
+    ratio, alpha ratio, repetition ratio; score = weighted combination."""
+    tokens = _tokens(F.col("text"))
+    n_tokens = F.size(tokens)
+    n_chars = F.length("text")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    stop_ratio = _stop_hits(tokens, STOPWORDS["en"]) / F.greatest(n_tokens, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(tokens)) / F.greatest(n_tokens, F.lit(1))
+    mean_tok_len = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.lit(0.3) * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.2) * (alpha_chars / F.greatest(n_chars, F.lit(1)))
+        + F.lit(0.2) * distinct_ratio
+        + F.lit(0.15) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.15) * F.least(mean_tok_len / F.lit(8.0), F.lit(1.0))
+    )
+    u = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("long")
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        u(alpha_chars / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio_u"),
+        u(stop_ratio).alias("stop_ratio_u"),
+        u(distinct_ratio).alias("distinct_ratio_u"),
+        u(score).alias("quality_u"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit argmax over {en, de, fr, es}; 'unk' when no hits.
+    Ties break in fixed language order."""
+    tokens = _tokens(F.col("text"))
+    hits = {lang: _stop_hits(tokens, words) for lang, words in STOPWORDS.items()}
+    best = F.lit("unk")
+    best_hits = F.lit(0)
+    for lang in ["en", "de", "fr", "es"]:  # fixed priority on ties
+        cond = hits[lang] > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return documents.select(
+        "doc_id",
+        *[hits[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
+        best.alias("lang_pred"),
+    )
+
+
+def doc_fingerprints(documents: DataFrame, window: int = 5) -> DataFrame:
+    """Winnowing-style fingerprint: min/max h32 over word 5-gram shingles
+    (rolling-hash document signature)."""
+    words = _tokens(F.col("text"))
+    shingles = F.when(
+        F.size(words) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - window),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + F.lit(j + 1)) for j in range(window)]
+            ),
+        ),
+    ).otherwise(F.array(F.lower(F.col("text"))))
+    hashes = F.transform(shingles, lambda s: h32(s))
+    return documents.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(hashes).alias("n_shingles"),
+    )

@@ -1,0 +1,420 @@
+"""Driver-contract queries for the training-data pipeline operators
+(dedup, similarity, text analysis, multimodal) over `documents` and
+`embeddings`, with DuckDB oracle SQL where SQL-expressible.
+
+Cross-engine hash: h32 = md5-prefix (functions/hashing.py); inexact floats
+canonicalized to integer micro-units on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.functions.hashing import h32_sql_duckdb
+from tsprofiler_spark.operators.dedup import (
+    dedup_exact,
+    minhash_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from tsprofiler_spark.operators.multimodal import (
+    attach_payload,
+    decode_features,
+    sample_frames,
+)
+from tsprofiler_spark.operators.similarity import ann_topk, brute_force_topk, lsh_buckets
+from tsprofiler_spark.operators.textops import (
+    STOPWORDS,
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from tsprofiler_spark.sources.tables import load_table
+
+PIPELINE_QUERIES: dict = {}
+PIPELINE_ORACLE: dict[str, str] = {}
+
+
+def _register(name, fn, oracle=None):
+    PIPELINE_QUERIES[name] = fn
+    if oracle is not None:
+        PIPELINE_ORACLE[name] = oracle
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# shared DuckDB CTE: word tokens + distinct 3-gram shingles
+_SHINGLES_CTE = """
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3
+         THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in generate_series(1, len(ws) - 2)]
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM tok
+)
+""".strip()
+
+# --- dedup_exact -------------------------------------------------------------
+
+_register(
+    "dedup_exact",
+    lambda spark, sf: dedup_exact(_docs(spark, sf)),
+    """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""".strip(),
+)
+
+# --- minhash signatures + LSH candidates ---------------------------------------
+
+_H_SHINGLE = h32_sql_duckdb("CAST(j AS STRING) || ':' || shingle")
+
+_register(
+    "dedup_minhash_signatures",
+    lambda spark, sf: minhash_signatures(_docs(spark, sf), k=12),
+    f"""
+WITH {_SHINGLES_CTE},
+hs AS (
+  SELECT doc_id, j, {_H_SHINGLE} AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
+)
+SELECT doc_id, j, MIN(h) AS minhash FROM hs GROUP BY doc_id, j
+""".strip(),
+)
+
+_register(
+    "dedup_minhash_candidates",
+    lambda spark, sf: minhash_candidates(_docs(spark, sf), k=12, rows_per_band=3),
+    f"""
+WITH {_SHINGLES_CTE},
+hs AS (
+  SELECT doc_id, j, {_H_SHINGLE} AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
+),
+sigs AS (SELECT doc_id, j, MIN(h) AS minhash FROM hs GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(j / 3) AS INT) AS band_id,
+         string_agg(CAST(minhash AS STRING), '-' ORDER BY j) AS band_hash
+  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / 3) AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+""".strip(),
+)
+
+# --- simhash ---------------------------------------------------------------------
+
+_H_TOKEN = h32_sql_duckdb("token")
+
+_register(
+    "dedup_simhash",
+    lambda spark, sf: simhash(_docs(spark, sf), bits=32),
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+hs AS (SELECT doc_id, {_H_TOKEN} AS h FROM toks WHERE token != ''),
+pb AS (
+  SELECT doc_id, bit,
+    CASE WHEN CAST(FLOOR(h / pow(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS sign
+  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) bits
+),
+bs AS (SELECT doc_id, bit, SUM(sign) AS s FROM pb GROUP BY doc_id, bit)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bs GROUP BY doc_id
+""".strip(),
+)
+
+# --- n-gram Jaccard pairs -----------------------------------------------------------
+
+_register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.5),
+    f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, common, sa.n_sh AS na, sb.n_sh AS nb,
+  CAST(FLOOR((common / (sa.n_sh + sb.n_sh - common)) * 1000000 + 0.5) AS BIGINT) AS jaccard_u
+FROM common
+JOIN sizes sa ON sa.doc_id = common.doc_a
+JOIN sizes sb ON sb.doc_id = common.doc_b
+WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+""".strip(),
+)
+
+# --- text analysis --------------------------------------------------------------------
+
+_register(
+    "text_token_counts",
+    lambda spark, sf: token_counts(_docs(spark, sf)).select(
+        "doc_id",
+        F.col("n_chars").cast("int"),
+        F.col("n_tokens").cast("int"),
+        F.col("n_distinct_tokens").cast("int"),
+        F.col("n_bpe_pieces").cast("long"),
+    ),
+    """
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+  CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS n_distinct_tokens,
+  CAST(list_sum([CAST(ceil(length(t) / 4.0) AS BIGINT)
+                 for t in string_split(lower(text), ' ')]) AS BIGINT) AS n_bpe_pieces
+FROM documents
+""".strip(),
+)
+
+
+def _stop_list_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+_register(
+    "text_quality",
+    lambda spark, sf: quality_scores(_docs(spark, sf)).select(
+        "doc_id", F.col("n_chars").cast("int"), F.col("n_tokens").cast("int"),
+        "alpha_ratio_u", "stop_ratio_u", "distinct_ratio_u", "quality_u",
+    ),
+    f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+    CAST(length(text) AS INT) AS n_chars,
+    CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+    alpha_chars / GREATEST(n_chars, 1) AS alpha_ratio,
+    len(list_intersect(ws, {_stop_list_sql('en')})) / GREATEST(n_tokens, 1) AS stop_ratio,
+    len(list_distinct(ws)) / GREATEST(n_tokens, 1) AS distinct_ratio,
+    (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1) AS mean_tok_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+  CAST(FLOOR(alpha_ratio * 1000000 + 0.5) AS BIGINT) AS alpha_ratio_u,
+  CAST(FLOOR(stop_ratio * 1000000 + 0.5) AS BIGINT) AS stop_ratio_u,
+  CAST(FLOOR(distinct_ratio * 1000000 + 0.5) AS BIGINT) AS distinct_ratio_u,
+  CAST(FLOOR((0.3 * LEAST(n_tokens / 64.0, 1.0) + 0.2 * alpha_ratio
+    + 0.2 * distinct_ratio + 0.15 * LEAST(stop_ratio * 5, 1.0)
+    + 0.15 * LEAST(mean_tok_len / 8.0, 1.0)) * 1000000 + 0.5) AS BIGINT) AS quality_u
+FROM r
+""".strip(),
+)
+
+_register(
+    "text_lang_id",
+    lambda spark, sf: language_id(_docs(spark, sf)).select(
+        "doc_id",
+        *[F.col(f"hits_{l}").cast("int") for l in ("en", "de", "fr", "es")],
+        "lang_pred",
+    ),
+    f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+h AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(ws, {_stop_list_sql('en')})) AS INT) AS hits_en,
+    CAST(len(list_intersect(ws, {_stop_list_sql('de')})) AS INT) AS hits_de,
+    CAST(len(list_intersect(ws, {_stop_list_sql('fr')})) AS INT) AS hits_fr,
+    CAST(len(list_intersect(ws, {_stop_list_sql('es')})) AS INT) AS hits_es
+  FROM t
+)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+  CASE
+    WHEN hits_en = 0 AND hits_de = 0 AND hits_fr = 0 AND hits_es = 0 THEN 'unk'
+    WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+    WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+    WHEN hits_fr >= hits_es THEN 'fr'
+    ELSE 'es' END AS lang_pred
+FROM h
+""".strip(),
+)
+
+_H_SH5 = h32_sql_duckdb("s")
+
+_register(
+    "text_fingerprint",
+    lambda spark, sf: doc_fingerprints(_docs(spark, sf), window=5).select(
+        "doc_id", "fp_min", "fp_max", F.col("n_shingles").cast("int")
+    ),
+    f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws, lower(text) AS lt FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 5
+         THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+               for i in generate_series(1, len(ws) - 4)]
+         ELSE [lt] END AS shingles
+  FROM t
+)
+SELECT doc_id,
+  list_min(list_transform(shingles, s -> {_H_SH5})) AS fp_min,
+  list_max(list_transform(shingles, s -> {_H_SH5})) AS fp_max,
+  CAST(len(shingles) AS INT) AS n_shingles
+FROM s
+""".strip(),
+)
+
+# --- similarity search ---------------------------------------------------------------------
+
+_register(
+    "sim_brute_topk",
+    lambda spark, sf: brute_force_topk(_embs(spark, sf), k=10, query_mod=100),
+    """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+    list_dot_product(q.q_emb, b.emb)
+      / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM base b, q WHERE b.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_u
+FROM ranked WHERE rank <= 10
+""".strip(),
+)
+
+_W_PLANE = h32_sql_duckdb("CAST(p AS STRING) || '-' || CAST(d - 1 AS STRING)")
+
+_register(
+    "sim_lsh_buckets",
+    lambda spark, sf: lsh_buckets(_embs(spark, sf), n_planes=12, dim=64),
+    f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+planes AS (
+  SELECT p, d, (({_W_PLANE}) % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(generate_series(0, 11)) AS p) ps CROSS JOIN dims
+),
+x AS (SELECT vec_id, d, emb[d] AS v FROM base CROSS JOIN dims),
+dots AS (SELECT vec_id, p, SUM(v * w) AS dot FROM x JOIN planes USING (d) GROUP BY vec_id, p)
+SELECT vec_id,
+  CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+FROM dots GROUP BY vec_id
+""".strip(),
+)
+
+# ANN inside LSH buckets: rank ties under float noise make a cross-engine
+# hash flaky -> rows-only check; recall-vs-brute-force is pinned in pytest.
+# 4 planes = 16 buckets: sized for the 500-vector test corpus (the plane
+# count scales with log2(n/target_bucket_size) in production).
+_register("sim_ann_topk", lambda spark, sf: ann_topk(_embs(spark, sf), k=10, query_mod=100, n_planes=4))
+
+
+# --- parity + predictor (sequential reference kernels; non-SQL-expressible,
+# --- rows-only driver check; bit-exactness is pinned in pytest vs the kernel) --
+
+def _q_parity_profiles(spark, sf):
+    from tsprofiler_spark.config import Settings
+    from tsprofiler_spark.operators.ingest import derive_series
+    from tsprofiler_spark.plans.parity import parity_profiles
+    from tsprofiler_spark.sources.transcripts import transcripts_from_events
+
+    settings = Settings(
+        buffer_size=4, states=8, history=1, fix_bound=True,
+        fixed_min=0.0, fixed_max=128.0, period_size=(4, 6),
+        phase_change_likeliness=0.5, phase_change_history=4,
+    )
+    t = transcripts_from_events(spark, sf)
+    return parity_profiles(derive_series(t), settings)
+
+
+_register("parity_profiles", _q_parity_profiles)
+
+
+def _q_predictor_likeliness(spark, sf):
+    """k-step likeliness distribution per series from the parity profile
+    (reference: predictor/likeliness.go) — deterministic, Arrow-batched."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    profiles = _q_parity_profiles(spark, sf)
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("tool", StringType()),
+            StructField("role", StringType()),
+            StructField("metric", StringType()),
+            StructField("state", IntegerType()),
+            StructField("prob_pct", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        from tsprofiler_spark.kernel.predictor import Predictor
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                doc = json.loads(row["profile_json"])
+                hist = json.loads(row["history_json"])
+                if not doc["roottx"]:
+                    continue
+                pred = Predictor(doc, mode="roottx", seed=42)
+                current = hist["historicStates"][0] if hist["historicStates"] else {}
+                dist = pred.likeliness(current, steps=3)
+                for metric, probs in dist.items():
+                    for s, p in enumerate(probs):
+                        out.append(
+                            {
+                                "conv_id": row["conv_id"],
+                                "tool": row["tool"],
+                                "role": row["role"],
+                                "metric": metric,
+                                "state": s,
+                                "prob_pct": int(p),
+                            }
+                        )
+            if out:
+                yield pd.DataFrame(out)
+
+    return profiles.mapInPandas(run, schema)
+
+
+_register("predictor_likeliness", _q_predictor_likeliness)
+
+# --- multimodal plumbing (decode is stubbed; python-side -> rows-only) ------------------------
+
+def _q_multimodal_features(spark, sf):
+    return decode_features(attach_payload(_docs(spark, sf), "image"))
+
+
+def _q_multimodal_frames(spark, sf):
+    return sample_frames(attach_payload(_docs(spark, sf), "video")).select(
+        "doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
+    )
+
+
+_register("multimodal_features", _q_multimodal_features)
+_register("multimodal_frames", _q_multimodal_frames)
