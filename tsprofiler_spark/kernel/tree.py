@@ -3,15 +3,14 @@
 Faithful re-expression of reference: models/tree.go and models/treenode.go,
 including the navigation quirk pinned by models/tree_test.go:156-166: extra
 path elements on a leaf return the leaf itself. Node UUIDs are deterministic
-(sequential) instead of ``rand.Intn(999)`` — UUIDs carry no semantics.
+(preorder position within the tree) instead of ``rand.Intn(999)`` — UUIDs
+carry no semantics, but must be reproducible across processes so profile
+JSON compares bit-exactly between driver and executor runs.
 """
 
 from __future__ import annotations
 
-import itertools
 from dataclasses import dataclass, field
-
-_uuid_counter = itertools.count(1)
 
 
 @dataclass
@@ -59,8 +58,12 @@ class PeriodTreeNode:
         )
 
 
-def new_period_tree_node(size: list[int]) -> PeriodTreeNode:
-    """Recursive constructor (models/treenode.go:8-41)."""
+def new_period_tree_node(size: list[int], _counter: list[int] | None = None) -> PeriodTreeNode:
+    """Recursive constructor (models/treenode.go:8-41); preorder uuids."""
+    if _counter is None:
+        _counter = [0]
+    _counter[0] += 1
+    uuid = _counter[0]
     max_childs = 0
     max_counts = 0
     children: list[PeriodTreeNode] = []
@@ -68,13 +71,13 @@ def new_period_tree_node(size: list[int]) -> PeriodTreeNode:
         if len(size) > 1:
             max_childs = size[0]
             for _ in range(max_childs):
-                child = new_period_tree_node(size[1:])
+                child = new_period_tree_node(size[1:], _counter)
                 max_counts += child.max_counts
                 children.append(child)
         else:
             max_counts = size[0]
     return PeriodTreeNode(
-        uuid=next(_uuid_counter) % 999,
+        uuid=uuid,
         max_childs=max_childs,
         max_counts=max_counts,
         children=children,
