@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: full retention pipeline over a transcripts table.
+
+The north_rule requires the whole pipeline to run via
+``spark-submit --py-files`` at two cluster sizes (N and 4N executors) with
+scaling efficiency >= 0.8. This is that job. In the sandbox the two sizes
+are ``--master local[8]`` vs ``--master local[32]`` (no real cluster);
+on a cluster the same command line works unchanged with a YARN/K8s master.
+
+Usage:
+    spark-submit --master local[8] --py-files dist/tsprofiler_spark.zip \
+        tools/run_pipeline.py --input /path/transcripts.parquet \
+        --output /path/out --cores 8
+
+Stages (identical logical plan at every size):
+  read        parquet scan of the input transcripts (ts-pruned via manifest)
+  tiers       incremental MERGE into 1m/1h/1d rollup tiers + manifest commit
+  profiles    full tsprofiler-style profile (gap-fill -> txmatrix JSON docs)
+  compress    Gorilla XOR + delta-of-delta encoding of the 1m tier
+
+Prints ONE JSON line with per-stage wall seconds, rolled-up point counts,
+and points/sec (the BASELINE.json north-star metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# When launched via spark-submit from the repo root the package is importable
+# directly; via --py-files the zip is already on sys.path on the executors.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet path")
+    ap.add_argument("--output", required=True, help="rollup store directory")
+    ap.add_argument("--cores", type=int, required=True,
+                    help="executor-core count (sizes shuffle partitions)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--skip-profiles", action="store_true")
+    ap.add_argument("--skip-compress", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from tsprofiler_spark.config import Settings
+    from tsprofiler_spark.operators.compress import compress_points
+    from tsprofiler_spark.operators.ingest import derive_series
+    from tsprofiler_spark.plans.pipeline import run_profile
+    from tsprofiler_spark.plans.retention import incremental_run
+    from tsprofiler_spark.plans.storage import RollupStore
+    from tsprofiler_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"tsprofiler-pipeline-c{args.cores}",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+        inherit_master=True,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    master = spark.sparkContext.master
+
+    settings = Settings(
+        buffer_size=10, states=10, history=1,
+        fix_bound=True, fixed_min=0.0, fixed_max=128.0,
+    )
+
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    transcripts = spark.read.parquet(args.input)
+    counters["input_rows"] = timed("read", transcripts.count)
+
+    store = RollupStore(spark, args.output)
+    res = timed(
+        "tiers", lambda: incremental_run(transcripts, store, settings, expire=False)
+    )
+    rolled = sum(p["rows"] for p in res["partitions"])
+    counters["rolled_points"] = rolled
+
+    if not args.skip_profiles:
+        profile = run_profile(transcripts, settings, do_gap_fill=True, step_seconds=60)
+        prof_path = os.path.join(args.output, "profiles")
+        counters["profiles"] = timed(
+            "profiles",
+            lambda: (
+                profile.write.mode("overwrite").parquet(prof_path),
+                spark.read.parquet(prof_path).count(),
+            )[1],
+        )
+
+    if not args.skip_compress:
+        one_m = store.read_tier("1m")
+        points = one_m.select(
+            "conv_id", "tool", "role", "metric",
+            F.lit("1m").alias("tier"), "bucket_start",
+            (F.col("s1") / F.col("n")).alias("avg"),
+        )
+        comp_path = os.path.join(args.output, "compressed_1m")
+        compressed = compress_points(points)
+        counters["codec_points"] = timed(
+            "compress",
+            lambda: (
+                compressed.write.mode("overwrite").parquet(comp_path),
+                int(
+                    spark.read.parquet(comp_path)
+                    .agg(F.sum("n_points"))
+                    .collect()[0][0]
+                ),
+            )[1],
+        )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "master": master,
+                "cores": args.cores,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                "value": total,
+                "unit": "sec",
+                "stages": timings,
+                "counters": counters,
+                "rolled_points": rolled,
+                "points_per_sec": round(rolled / max(total, 1e-9), 1),
+                "tiers_points_per_sec": round(rolled / max(timings["tiers"], 1e-9), 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the BASELINE.json north_rule.
+
+No real cluster exists in this sandbox, so the two cluster sizes (N and 4N
+executors) are evidenced by running the IDENTICAL spark-submit job at
+``--master local[8]`` and ``--master local[32]`` on the SAME input, per the
+driver instruction. The harness:
+
+  1. packages ``tsprofiler_spark`` into ``dist/tsprofiler_spark.zip``
+  2. generates one deterministic synthetic transcripts table (seeded)
+  3. runs ``tools/run_pipeline.py`` via ``spark-submit --py-files`` at both
+     parallelism levels into separate output stores
+  4. asserts the rollup-tier outputs are value-identical across the two runs
+     (sorted whole-table hash per tier, via DuckDB over the parquet files)
+  5. reports points/sec at both sizes and scaling efficiency
+     = T(8) / (4 * T(32)), writing BENCH/scaling.json and BENCH/BASELINE.md
+
+Usage: python tools/scaling_bench.py [--convs 8000] [--turns 400] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_zip() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "tsprofiler_spark.zip")
+    pkg = os.path.join(REPO, "tsprofiler_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def generate_input(path: str, convs: int, turns: int) -> int:
+    from tsprofiler_spark.session import get_spark
+    from tsprofiler_spark.sources.transcripts import synthesize_transcripts
+
+    spark = get_spark(app_name="scaling-synth", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = synthesize_transcripts(
+        spark, n_convs=convs, max_turns=turns, seed=42, zipf=False,
+        step_seconds=60,
+    )
+    df.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    spark.stop()
+    return n
+
+
+def run_at(zpath: str, inp: str, out: str, cores: int) -> dict:
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        "--py-files", zpath,
+        os.path.join(REPO, "tools", "run_pipeline.py"),
+        "--input", inp, "--output", out, "--cores", str(cores),
+    ]
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    wall = time.perf_counter() - t0
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:])
+        raise SystemExit(f"spark-submit local[{cores}] failed")
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    res = json.loads(line)
+    res["submit_wall"] = round(wall, 3)
+    return res
+
+
+def tier_hashes(store: str) -> dict:
+    """Order-independent value hash of each output table (DuckDB)."""
+    import duckdb
+
+    con = duckdb.connect()
+    out = {}
+    for name, sub in (
+        ("1m", "tier=1m"), ("1h", "tier=1h"), ("1d", "tier=1d"),
+        ("profiles", "profiles"),
+    ):
+        glob = os.path.join(store, sub, "**", "*.parquet")
+        # sum of per-row hashes == order-independent whole-table value hash;
+        # metric values are integer text-lengths so double sums are exact
+        # and bit-identical across parallelism levels.
+        row = con.execute(
+            "SELECT count(*), sum(hash(concat_ws('|', COLUMNS(*)::VARCHAR))) "
+            f"FROM parquet_scan('{glob}', hive_partitioning=1)"
+        ).fetchone()
+        out[name] = {"rows": row[0], "hash": str(row[1])}
+    con.close()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=8000)
+    ap.add_argument("--turns", type=int, default=400)
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--large", type=int, default=32)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    zpath = build_zip()
+    work = tempfile.mkdtemp(prefix="scaling-")
+    inp = os.path.join(work, "transcripts.parquet")
+
+    print(f"[scaling] generating input ({args.convs} convs x {args.turns} turns)...",
+          file=sys.stderr)
+    n_rows = generate_input(inp, args.convs, args.turns)
+    print(f"[scaling] {n_rows} input rows", file=sys.stderr)
+
+    results = {}
+    hashes = {}
+    for cores in (args.small, args.large):
+        out = os.path.join(work, f"out{cores}")
+        print(f"[scaling] spark-submit --master local[{cores}] ...", file=sys.stderr)
+        results[cores] = run_at(zpath, inp, out, cores)
+        hashes[cores] = tier_hashes(out)
+        print(f"[scaling] local[{cores}]: {results[cores]['value']}s "
+              f"({results[cores]['points_per_sec']} pts/s)", file=sys.stderr)
+
+    identical = hashes[args.small] == hashes[args.large]
+    t_small = results[args.small]["value"]
+    t_large = results[args.large]["value"]
+    factor = args.large / args.small
+    efficiency = round(t_small / (factor * t_large), 3)
+    tiers_eff = round(
+        results[args.small]["stages"]["tiers"]
+        / (factor * results[args.large]["stages"]["tiers"]), 3,
+    )
+
+    report = {
+        "input_rows": n_rows,
+        "small_cores": args.small,
+        "large_cores": args.large,
+        "runs": results,
+        "outputs_identical": identical,
+        "tier_hashes": hashes[args.large],
+        "scaling_efficiency_total": efficiency,
+        "scaling_efficiency_tiers": tiers_eff,
+        "target": 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+    if not args.keep:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

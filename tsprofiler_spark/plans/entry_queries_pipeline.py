@@ -404,6 +404,67 @@ def _q_predictor_likeliness(spark, sf):
 
 _register("predictor_likeliness", _q_predictor_likeliness)
 
+
+def _q_predictor_simulate(spark, sf):
+    """k-step seeded simulation per series from the parity profile
+    (reference: predictor/predictor.go:191-220, value reconstruction
+    util.go:86-95) — seeded RNG so the run is deterministic; many series
+    scored in parallel via mapInPandas (Arrow-batched)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    profiles = _q_parity_profiles(spark, sf)
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("tool", StringType()),
+            StructField("role", StringType()),
+            StructField("metric", StringType()),
+            StructField("step", IntegerType()),
+            StructField("state", IntegerType()),
+            StructField("sim_value", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        from tsprofiler_spark.kernel.predictor import Predictor
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                doc = json.loads(row["profile_json"])
+                if not doc["roottx"]:
+                    continue
+                pred = Predictor(doc, mode="roottx", seed=159)
+                for step_no, step_out in enumerate(pred.simulate(steps=5)):
+                    for m in step_out:
+                        out.append(
+                            {
+                                "conv_id": row["conv_id"],
+                                "tool": row["tool"],
+                                "role": row["role"],
+                                "metric": m["metric"],
+                                "step": step_no,
+                                "state": m["state"],
+                                "sim_value": m["value"],
+                            }
+                        )
+            if out:
+                yield pd.DataFrame(out)
+
+    return profiles.mapInPandas(run, schema)
+
+
+_register("predictor_simulate", _q_predictor_simulate)
+
 # --- multimodal plumbing (decode is stubbed; python-side -> rows-only) ------------------------
 
 def _q_multimodal_features(spark, sf):

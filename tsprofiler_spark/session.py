@@ -23,13 +23,23 @@ def get_spark(
     arrow_batch: int = 65536,
     extra_conf: dict | None = None,
     warehouse: str | None = None,
+    inherit_master: bool = False,
 ) -> SparkSession:
+    """Build the session with every scale knob explicit.
+
+    ``inherit_master=True`` skips ``.master(...)`` so the master chosen by
+    ``spark-submit --master`` (a real cluster, or local[N] in this sandbox)
+    is honored — used by the spark-submit entrypoints under ``tools/``.
+    ``cores`` then only sizes shuffle partitions / default parallelism.
+    """
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cores, 32)
 
+    builder = SparkSession.builder.appName(app_name)
+    if not inherit_master:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
