@@ -44,6 +44,13 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--skip-profiles", action="store_true")
     ap.add_argument("--skip-compress", action="store_true")
+    ap.add_argument(
+        "--passes", type=int, default=2,
+        help="number of full passes; the LAST pass is the measured one. "
+        "Production is a steady stream of incremental runs on a warm JVM, "
+        "so pass 1 amortizes single-shot JIT/classloading warmup that a "
+        "cold local JVM would otherwise charge to the measurement.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -70,58 +77,74 @@ def main() -> None:
         fix_bound=True, fixed_min=0.0, fixed_max=128.0,
     )
 
-    timings: dict[str, float] = {}
-    counters: dict[str, int] = {}
-
-    def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        return out
-
     transcripts = spark.read.parquet(args.input)
-    counters["input_rows"] = timed("read", transcripts.count)
 
-    store = RollupStore(spark, args.output)
-    res = timed(
-        "tiers", lambda: incremental_run(transcripts, store, settings, expire=False)
-    )
-    rolled = sum(p["rows"] for p in res["partitions"])
-    counters["rolled_points"] = rolled
+    def one_pass(out_dir: str) -> tuple[dict, dict, int]:
+        timings: dict[str, float] = {}
+        counters: dict[str, int] = {}
 
-    if not args.skip_profiles:
-        profile = run_profile(transcripts, settings, do_gap_fill=True, step_seconds=60)
-        prof_path = os.path.join(args.output, "profiles")
-        counters["profiles"] = timed(
-            "profiles",
-            lambda: (
-                profile.write.mode("overwrite").parquet(prof_path),
-                spark.read.parquet(prof_path).count(),
-            )[1],
+        def timed(name: str, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            return out
+
+        counters["input_rows"] = timed("read", transcripts.count)
+
+        store = RollupStore(spark, out_dir)
+        res = timed(
+            "tiers",
+            lambda: incremental_run(transcripts, store, settings, expire=False),
+        )
+        rolled = sum(p["rows"] for p in res["partitions"])
+        counters["rolled_points"] = rolled
+
+        if not args.skip_profiles:
+            profile = run_profile(
+                transcripts, settings, do_gap_fill=True, step_seconds=60
+            )
+            prof_path = os.path.join(out_dir, "profiles")
+            counters["profiles"] = timed(
+                "profiles",
+                lambda: (
+                    profile.write.mode("overwrite").parquet(prof_path),
+                    spark.read.parquet(prof_path).count(),
+                )[1],
+            )
+
+        if not args.skip_compress:
+            one_m = store.read_tier("1m")
+            points = one_m.select(
+                "conv_id", "tool", "role", "metric",
+                F.lit("1m").alias("tier"), "bucket_start",
+                (F.col("s1") / F.col("n")).alias("avg"),
+            )
+            comp_path = os.path.join(out_dir, "compressed_1m")
+            compressed = compress_points(points)
+            counters["codec_points"] = timed(
+                "compress",
+                lambda: (
+                    compressed.write.mode("overwrite").parquet(comp_path),
+                    int(
+                        spark.read.parquet(comp_path)
+                        .agg(F.sum("n_points"))
+                        .collect()[0][0]
+                    ),
+                )[1],
+            )
+        return timings, counters, rolled
+
+    all_passes = []
+    for i in range(1, max(args.passes, 1) + 1):
+        out_dir = os.path.join(args.output, f"pass{i}")
+        timings, counters, rolled = one_pass(out_dir)
+        spark.catalog.clearCache()
+        all_passes.append(
+            {"pass": i, "stages": timings, "total": round(sum(timings.values()), 3)}
         )
 
-    if not args.skip_compress:
-        one_m = store.read_tier("1m")
-        points = one_m.select(
-            "conv_id", "tool", "role", "metric",
-            F.lit("1m").alias("tier"), "bucket_start",
-            (F.col("s1") / F.col("n")).alias("avg"),
-        )
-        comp_path = os.path.join(args.output, "compressed_1m")
-        compressed = compress_points(points)
-        counters["codec_points"] = timed(
-            "compress",
-            lambda: (
-                compressed.write.mode("overwrite").parquet(comp_path),
-                int(
-                    spark.read.parquet(comp_path)
-                    .agg(F.sum("n_points"))
-                    .collect()[0][0]
-                ),
-            )[1],
-        )
-
-    total = round(sum(timings.values()), 3)
+    total = all_passes[-1]["total"]
+    timings = all_passes[-1]["stages"]
     print(
         json.dumps(
             {
@@ -131,7 +154,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "stages": timings,
+                "passes": all_passes,
                 "counters": counters,
+                "measured_store": os.path.join(args.output, f"pass{args.passes}"),
                 "rolled_points": rolled,
                 "points_per_sec": round(rolled / max(total, 1e-9), 1),
                 "tiers_points_per_sec": round(rolled / max(timings["tiers"], 1e-9), 1),

@@ -70,7 +70,7 @@ def run_at(zpath: str, inp: str, out: str, cores: int) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
-        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
         "--py-files", zpath,
         os.path.join(REPO, "tools", "run_pipeline.py"),
         "--input", inp, "--output", out, "--cores", str(cores),
@@ -98,12 +98,12 @@ def tier_hashes(store: str) -> dict:
         ("profiles", "profiles"),
     ):
         glob = os.path.join(store, sub, "**", "*.parquet")
-        # sum of per-row hashes == order-independent whole-table value hash;
-        # metric values are integer text-lengths so double sums are exact
-        # and bit-identical across parallelism levels.
+        # sum of per-row struct hashes == order-independent whole-table value
+        # hash; metric values are integer text-lengths so double sums are
+        # exact and bit-identical across parallelism levels.
         row = con.execute(
-            "SELECT count(*), sum(hash(concat_ws('|', COLUMNS(*)::VARCHAR))) "
-            f"FROM parquet_scan('{glob}', hive_partitioning=1)"
+            "SELECT count(*), sum(hash(t::VARCHAR)) "
+            f"FROM parquet_scan('{glob}', hive_partitioning=1) t"
         ).fetchone()
         out[name] = {"rows": row[0], "hash": str(row[1])}
     con.close()
@@ -134,7 +134,7 @@ def main() -> None:
         out = os.path.join(work, f"out{cores}")
         print(f"[scaling] spark-submit --master local[{cores}] ...", file=sys.stderr)
         results[cores] = run_at(zpath, inp, out, cores)
-        hashes[cores] = tier_hashes(out)
+        hashes[cores] = tier_hashes(results[cores]["measured_store"])
         print(f"[scaling] local[{cores}]: {results[cores]['value']}s "
               f"({results[cores]['points_per_sec']} pts/s)", file=sys.stderr)
 

@@ -43,35 +43,46 @@ COMPRESSED_SCHEMA = StructType(
 
 
 def compress_points(tier_df: DataFrame) -> DataFrame:
-    """(series, tier, bucket_start, avg) -> one binary segment per day."""
+    """(series, tier, bucket_start, avg) -> one binary segment per day.
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+    The group-and-sort runs JVM-side (``groupBy`` + ``array_sort(collect_list
+    (struct(ts, avg)))`` — whole-stage codegen, one shuffle); Python only sees
+    one Arrow batch of many pre-sorted segments via ``mapInPandas`` and walks
+    numpy arrays per segment. This beats a per-group ``applyInPandas`` by
+    ~an order of magnitude at high segment counts: no pandas group-splitting,
+    no per-group DataFrame construction.
+    """
+
+    def encode_batches(batches):
         import numpy as np
 
         from tsprofiler_spark.codec import dod_encode, gorilla_encode
 
-        pdf = pdf.sort_values("bucket_start")
-        ts = pdf["bucket_start"].astype("datetime64[us]").astype("int64").to_numpy()
-        vals = pdf["avg"].to_numpy(dtype=np.float64)
-        first = pdf.iloc[0]
-        return pd.DataFrame(
-            [
-                {
-                    "conv_id": first["conv_id"],
-                    "tool": first["tool"],
-                    "role": first["role"],
-                    "metric": first["metric"],
-                    "tier": first["tier"],
-                    "seg_day": first["seg_day"],
-                    "n_points": len(pdf),
-                    "ts_dod": dod_encode(ts),
-                    "points_gorilla": gorilla_encode(vals),
-                }
-            ]
-        )
+        for pdf in batches:
+            ts_list, val_list = pdf["ts_arr"], pdf["val_arr"]
+            n_points, ts_dod, gor = [], [], []
+            for ts_arr, val_arr in zip(ts_list, val_list):
+                ts = np.asarray(ts_arr, dtype="datetime64[us]").astype("int64")
+                vals = np.asarray(val_arr, dtype=np.float64)
+                n_points.append(len(vals))
+                ts_dod.append(dod_encode(ts))
+                gor.append(gorilla_encode(vals))
+            out = pdf[["conv_id", "tool", "role", "metric", "tier", "seg_day"]].copy()
+            out["n_points"] = n_points
+            out["ts_dod"] = ts_dod
+            out["points_gorilla"] = gor
+            yield out
 
     with_day = tier_df.withColumn("seg_day", F.date_trunc("day", "bucket_start"))
-    return with_day.groupBy(*SEGMENT_KEY).applyInPandas(encode, COMPRESSED_SCHEMA)
+    grouped = with_day.groupBy(*SEGMENT_KEY).agg(
+        F.array_sort(F.collect_list(F.struct("bucket_start", "avg"))).alias("pts")
+    )
+    flat = grouped.select(
+        *SEGMENT_KEY,
+        F.col("pts.bucket_start").alias("ts_arr"),
+        F.col("pts.avg").alias("val_arr"),
+    )
+    return flat.mapInPandas(encode_batches, COMPRESSED_SCHEMA)
 
 
 DECOMPRESSED_SCHEMA = StructType(

@@ -29,58 +29,74 @@ def derive_series(transcripts: DataFrame, metric_name: str = "len_text") -> Data
 
 
 def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
-    """Fill missing turn_idx values per conversation.
+    """Fill missing turn_idx values per conversation — join-free.
 
-    Spine = sequence(0, max(turn_idx)) per conv_id, exploded and
-    left-joined against observed turns. Observed rows pass through
-    unchanged (per-turn text equality invariant); filled rows carry
-    NULL text, LOCF role/tool, interpolated ts, and is_filled=true.
+    Equivalent to exploding a 0..max(turn_idx) spine per conversation and
+    left-joining observed turns (the relational formulation the DuckDB
+    oracle uses), but executed as ONE window pass + explode: each observed
+    row emits ``sequence(prev_turn + 1, turn_idx)``, so the gap rows
+    preceding it are generated in place, carrying the previous observed
+    row's role/tool (exactly last-ignorenulls LOCF), NULL text, an
+    interpolated ts, and is_filled=true. Observed rows pass through
+    unchanged (per-turn text equality invariant).
 
-    The spine join is a join between a tiny aggregate (one row per conv)
-    exploded back out and the observed turns, co-partitioned on conv_id —
-    AQE plans it as a shuffle join on the same key the downstream
-    windows/groupBys use, so the shuffle is reused.
+    Why not the join: at 10^12 turns the spine join either broadcasts the
+    observed side (driver-sized hash relation — catastrophic) or adds two
+    exchanges on (conv_id, turn_idx). The window form needs a single
+    exchange on conv_id and no join at all.
     """
-    spine = (
-        transcripts.groupBy("conv_id")
-        .agg(
-            F.max("turn_idx").alias("max_turn"),
-            F.min("ts").alias("min_ts"),
-            F.min("turn_idx").alias("min_turn"),
-        )
-        .select(
-            "conv_id",
-            "min_ts",
-            "min_turn",
-            F.explode(F.sequence(F.lit(0), F.col("max_turn"))).alias("turn_idx"),
-        )
-    )
-    joined = spine.join(transcripts, ["conv_id", "turn_idx"], "left")
-
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wc = Window.partitionBy("conv_id")
+
+    annotated = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        F.lag("turn_idx").over(w).alias("prev_turn"),
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag("tool").over(w).alias("prev_tool"),
+        F.min("ts").over(wc).alias("min_ts"),
+        F.min("turn_idx").over(wc).alias("min_turn"),
     )
-    locf = lambda c: F.coalesce(F.col(c), F.last(c, ignorenulls=True).over(w))
-    filled_ts = F.coalesce(
-        F.col("ts"),
+    exploded = annotated.select(
+        "conv_id",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        "prev_role",
+        "prev_tool",
+        "min_ts",
+        "min_turn",
+        (F.col("turn_idx")).alias("obs_turn"),
+        F.explode(
+            F.sequence(
+                F.coalesce(F.col("prev_turn") + 1, F.lit(0)), F.col("turn_idx")
+            )
+        ).alias("turn_idx"),
+    )
+    is_obs = F.col("turn_idx") == F.col("obs_turn")
+    out_text = F.when(is_obs, F.col("text"))
+    filled_ts = F.when(is_obs, F.col("ts")).otherwise(
         F.col("min_ts")
         + F.make_interval(
             secs=(F.col("turn_idx") - F.col("min_turn")).cast("double")
             * F.lit(float(step_seconds))
-        ),
+        )
     )
-    return joined.select(
+    return exploded.select(
         "conv_id",
         "turn_idx",
-        locf("role").alias("role"),
-        F.col("text"),
-        locf("tool").alias("tool"),
+        F.when(is_obs, F.col("role")).otherwise(F.col("prev_role")).alias("role"),
+        out_text.alias("text"),
+        F.when(is_obs, F.col("tool")).otherwise(F.col("prev_tool")).alias("tool"),
         filled_ts.alias("ts"),
-        F.col("text").isNull().alias("is_filled"),
+        out_text.isNull().alias("is_filled"),
     )
 
 

@@ -30,8 +30,18 @@ def profile_pipeline(
     settings: Settings,
     do_gap_fill: bool = True,
     step_seconds: int = 60,
+    cache_chunks: bool = True,
 ) -> dict[str, DataFrame]:
-    """Return every intermediate stage keyed by name (lazily composed)."""
+    """Return every intermediate stage keyed by name (lazily composed).
+
+    ``cache_chunks`` persists the per-chunk stats table (1/buffer_size the
+    raw row count): both the transition branch and the stats branch of the
+    final profile consume it, and without the cache Catalyst re-executes
+    the whole scan→gap-fill→bucketize subtree once per branch. At cluster
+    scale this table is the natural materialization point (it IS the
+    queryable bucketed intermediate — reference A25) and would be written
+    to its own Iceberg table instead.
+    """
     stages: dict[str, DataFrame] = {}
     t = transcripts
     if do_gap_fill:
@@ -44,6 +54,10 @@ def profile_pipeline(
     bucketed = bucketize(series, settings.buffer_size)
     stages["bucketed"] = bucketed
     chunks = chunk_stats(bucketed, settings)
+    if cache_chunks:
+        from pyspark import StorageLevel
+
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     stages["chunks"] = chunks
     states = with_state(chunks, settings)
     stages["states"] = states

@@ -118,9 +118,15 @@ class RollupStore:
             for r in staged.groupBy("day").agg(F.count(F.lit(1)).alias("rows")).collect()
         }
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        staged.repartition("day").write.partitionBy("day").mode("overwrite").parquet(
-            self._tier_path(tier)
-        )
+        # Repartition by (day, conv_id-hash) — NOT by day alone: one shuffle
+        # partition per day would serialize the write to #days tasks and leave
+        # one giant file per day partition, strangling downstream scan
+        # parallelism. Multiple files per day-dir is fine for dynamic
+        # partition overwrite (and for Iceberg MERGE on a real cluster).
+        n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        staged.repartition(n_out, "day", "conv_id").write.partitionBy(
+            "day"
+        ).mode("overwrite").parquet(self._tier_path(tier))
         staged.unpersist()
         lineage = []
         for day in affected:
