@@ -48,6 +48,26 @@ def _cascade_partials(finer: DataFrame, tier: str) -> DataFrame:
     )
 
 
+def merge_transcript_batch(transcripts: DataFrame, store: RollupStore) -> list[dict]:
+    """MERGE one batch of transcripts into every tier; returns lineage.
+
+    Shared by the batch-incremental job below and the Structured Streaming
+    ``foreachBatch`` path (streaming/ingest.py) — identical semantics by
+    construction, which is what the stream-vs-batch equality test pins.
+    """
+    series = derive_series(transcripts)
+    lineage: list[dict] = []
+    finest = _tier_partials(series, "1m").persist()
+    finest.count()
+    lineage += store.merge_tier(finest, "1m")
+    coarser_src = finest
+    for tier in ("1h", "1d"):
+        partials = _cascade_partials(coarser_src, tier)
+        lineage += store.merge_tier(partials, tier)
+    finest.unpersist()
+    return lineage
+
+
 def incremental_run(
     transcripts: DataFrame,
     store: RollupStore,
@@ -63,22 +83,14 @@ def incremental_run(
     new = transcripts
     if wm is not None:
         new = transcripts.where(F.col("ts") > F.lit(wm).cast("timestamp"))
-    n_new = new.count()
+    # one scan for both the row count and the new watermark
+    n_new, new_wm = new.agg(
+        F.count(F.lit(1)), F.max("ts")
+    ).collect()[0]
     if n_new == 0:
         return {"run_id": run_id, "new_rows": 0, "partitions": []}
 
-    new_wm = new.agg(F.max("ts")).collect()[0][0]
-    series = derive_series(new)
-
-    lineage: list[dict] = []
-    finest = _tier_partials(series, "1m").persist()
-    finest.count()
-    lineage += store.merge_tier(finest, "1m")
-    coarser_src = finest
-    for tier in ("1h", "1d"):
-        partials = _cascade_partials(coarser_src, tier)
-        lineage += store.merge_tier(partials, tier)
-    finest.unpersist()
+    lineage = merge_transcript_batch(new, store)
 
     store.manifest.record_run(run_id, new_wm.isoformat(sep=" "), lineage)
 

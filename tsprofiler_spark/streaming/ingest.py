@@ -1,0 +1,100 @@
+"""Structured Streaming ingestion into the retention tiers.
+
+The reference ingests via a push channel (`Put` — /root/reference/
+profiler/profiler.go:63-65, 99-133); our continuous analogue is a
+Structured Streaming file/Iceberg source feeding ``foreachBatch``, where
+every micro-batch runs the SAME idempotent tier MERGE the batch-incremental
+job uses (`plans/retention.py`). State between micro-batches lives in the
+rollup tables themselves (continuous aggregates), so the streaming query
+needs no Spark state store beyond its source-offset checkpoint — restarts
+and replays are safe because the MERGE is idempotent by (series, bucket)
+key and the combine (n/s1/s2 sum, vmin/vmax min/max) is associative.
+
+Late data needs no watermark-based dropping: a late turn simply re-MERGEs
+into the tier bucket it belongs to (the tier tables are upserts, not
+append-only emissions). This matches the engine's batch semantics exactly,
+which is what lets one test assert stream-vs-batch equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tsprofiler_spark.config import Settings
+from tsprofiler_spark.plans.retention import merge_transcript_batch
+from tsprofiler_spark.plans.storage import RollupStore
+
+TRANSCRIPTS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def stream_transcripts(
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of transcript parquet drops.
+
+    On a real cluster the same role is played by an Iceberg streaming read
+    (``spark.readStream.format("iceberg")``), which feeds snapshots
+    incrementally; the file source gives identical semantics in this
+    sandbox (each new file = new data past the previous offset).
+    """
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def merge_microbatch(
+    batch: DataFrame, store: RollupStore, settings: Settings
+) -> list[dict]:
+    """MERGE one micro-batch into every tier (same path as the batch job)."""
+    return merge_transcript_batch(batch, store)
+
+
+def start_rollup_stream(
+    stream: DataFrame,
+    store: RollupStore,
+    settings: Settings,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the continuous rollup: stream -> foreachBatch tier MERGE.
+
+    ``available_now=True`` drains everything currently available then stops
+    (used by tests and backfills); ``False`` runs continuously with the
+    default micro-batch trigger.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        lineage = merge_microbatch(batch, store, settings)
+        wm = batch.agg({"ts": "max"}).collect()[0][0]
+        if wm is not None:
+            store.manifest.record_run(
+                f"stream-{batch_id}", wm.isoformat(sep=" "), lineage
+            )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
