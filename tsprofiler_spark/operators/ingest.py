@@ -80,6 +80,13 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
             )
         ).alias("turn_idx"),
     )
+    return _assemble_filled(exploded, step_seconds)
+
+
+def _assemble_filled(exploded: DataFrame, step_seconds: int) -> DataFrame:
+    """Final projection shared by gap_fill and gap_fill_segmented: observed
+    rows pass through untouched; gap rows carry the previous observed row's
+    role/tool, NULL text, and an interpolated ts."""
     is_obs = F.col("turn_idx") == F.col("obs_turn")
     out_text = F.when(is_obs, F.col("text"))
     filled_ts = F.when(is_obs, F.col("ts")).otherwise(
@@ -98,6 +105,81 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
         filled_ts.alias("ts"),
         out_text.isNull().alias("is_filled"),
     )
+
+
+def gap_fill_segmented(
+    transcripts: DataFrame, step_seconds: int = 60, segment_turns: int = 65536
+) -> DataFrame:
+    """Skew-safe `gap_fill`: identical output, bounded work per task.
+
+    Plain `gap_fill` runs one lag-window per conv_id — a hot conversation
+    (north_rule skew case) lands in a single task. Here turn ranges of
+    ``segment_turns`` form salted sub-keys: the lag runs per
+    (conv_id, segment), and the one row of cross-segment state each segment
+    needs — the last observed row of its predecessor — comes from a tiny
+    per-segment boundary table (one row per non-empty segment) lag-joined
+    back co-partitioned on (conv_id, segment). Conversation-level
+    min(ts)/min(turn_idx) likewise come from an aggregate of the boundary
+    table instead of a whole-series window. Ordering inside groups is
+    untouched: segments partition the turn_idx axis monotonically.
+    """
+    from pyspark.sql import Window
+
+    s = transcripts.withColumn(
+        "_seg", (F.col("turn_idx") / F.lit(segment_turns)).cast("long")
+    )
+    w_local = Window.partitionBy("conv_id", "_seg").orderBy("turn_idx")
+    local = s.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        "_seg",
+        F.lag("turn_idx").over(w_local).alias("_lp_turn"),
+        F.lag("role").over(w_local).alias("_lp_role"),
+        F.lag("tool").over(w_local).alias("_lp_tool"),
+    )
+
+    seg = s.groupBy("conv_id", "_seg").agg(
+        F.max_by(
+            F.struct(
+                F.col("turn_idx").alias("turn"),
+                F.col("role").alias("role"),
+                F.col("tool").alias("tool"),
+            ),
+            F.col("turn_idx"),
+        ).alias("_last"),
+        F.min("ts").alias("_mts"),
+        F.min("turn_idx").alias("_mturn"),
+    )
+    w_seg = Window.partitionBy("conv_id").orderBy("_seg")
+    boundaries = seg.select(
+        "conv_id", "_seg", F.lag("_last").over(w_seg).alias("_prev_last")
+    )
+    conv_mins = seg.groupBy("conv_id").agg(
+        F.min("_mts").alias("min_ts"), F.min("_mturn").alias("min_turn")
+    )
+
+    j = local.join(boundaries, ["conv_id", "_seg"]).join(conv_mins, "conv_id")
+    prev_turn = F.coalesce(F.col("_lp_turn"), F.col("_prev_last.turn"))
+    exploded = j.select(
+        "conv_id",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        F.coalesce(F.col("_lp_role"), F.col("_prev_last.role")).alias("prev_role"),
+        F.coalesce(F.col("_lp_tool"), F.col("_prev_last.tool")).alias("prev_tool"),
+        "min_ts",
+        "min_turn",
+        F.col("turn_idx").alias("obs_turn"),
+        F.explode(
+            F.sequence(F.coalesce(prev_turn + 1, F.lit(0)), F.col("turn_idx"))
+        ).alias("turn_idx"),
+    )
+    return _assemble_filled(exploded, step_seconds)
 
 
 def gap_fill_series(series: DataFrame) -> DataFrame:

@@ -32,6 +32,52 @@ def bucketize(series: DataFrame, buffer_size: int) -> DataFrame:
     )
 
 
+def bucketize_segmented(
+    series: DataFrame, buffer_size: int, segment_turns: int = 65536
+) -> DataFrame:
+    """Skew-safe `bucketize`: identical output, no whole-series sort.
+
+    A hot conv_id (the north_rule's skew case) forces plain `bucketize`
+    to sort that series' entire history inside ONE task. Here the series is
+    split into salted segments of ``segment_turns`` consecutive turn_idx
+    values: row_number runs per (series, metric, segment) — bounded work per
+    task — and the global ordinal is recovered by adding each segment's
+    cumulative predecessor-row count, computed on the tiny per-segment count
+    table and joined back co-partitioned on the segment key. Ordering
+    stability inside groups is preserved by construction: segment order is
+    turn_idx order, and ties within a segment sort exactly as in
+    `bucketize` (ts, turn_idx).
+
+    Precondition (checked by the equality test, not at runtime): within a
+    series, ordering by (ts, turn_idx) equals ordering by turn_idx — true
+    for transcripts, where ts is monotone in turn_idx per conversation.
+    """
+    keys = [*SERIES_COLS, "metric"]
+    s = series.withColumn(
+        "_seg", (F.col("turn_idx") / F.lit(segment_turns)).cast("long")
+    )
+    w_local = Window.partitionBy(*keys, "_seg").orderBy("ts", "turn_idx")
+    local = s.withColumn("_local_seq", F.row_number().over(w_local) - 1)
+
+    counts = s.groupBy(*keys, "_seg").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *keys, "_seg", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset")
+    )
+    joined = local.join(offsets, [*keys, "_seg"])
+    return joined.select(
+        *series.columns,
+        (F.col("_local_seq") + F.col("_offset")).cast("int").alias("seq"),
+        ((F.col("_local_seq") + F.col("_offset")) / F.lit(buffer_size))
+        .cast("long")
+        .alias("bucket_idx"),
+    )
+
+
 def chunk_stats(bucketed: DataFrame, settings: Settings) -> DataFrame:
     """Per-chunk aggregation (reference: descretizer.go:68-85).
 

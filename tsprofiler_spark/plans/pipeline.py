@@ -13,10 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from tsprofiler_spark.config import Settings
-from tsprofiler_spark.operators.ingest import derive_series, gap_fill, gap_fill_series
+from tsprofiler_spark.operators.ingest import (
+    derive_series,
+    gap_fill,
+    gap_fill_segmented,
+    gap_fill_series,
+)
 from tsprofiler_spark.operators.profile import (
     assemble_profile,
     bucketize,
+    bucketize_segmented,
     chunk_stats,
     series_stats,
     transition_counts,
@@ -31,6 +37,7 @@ def profile_pipeline(
     do_gap_fill: bool = True,
     step_seconds: int = 60,
     cache_chunks: bool = True,
+    segment_turns: int | None = None,
 ) -> dict[str, DataFrame]:
     """Return every intermediate stage keyed by name (lazily composed).
 
@@ -45,13 +52,23 @@ def profile_pipeline(
     stages: dict[str, DataFrame] = {}
     t = transcripts
     if do_gap_fill:
-        t = gap_fill(transcripts, step_seconds=step_seconds)
+        if segment_turns:
+            t = gap_fill_segmented(
+                transcripts, step_seconds=step_seconds, segment_turns=segment_turns
+            )
+        else:
+            t = gap_fill(transcripts, step_seconds=step_seconds)
         stages["gap_filled"] = t
         series = gap_fill_series(derive_series(t))
     else:
         series = derive_series(t)
     stages["series"] = series
-    bucketed = bucketize(series, settings.buffer_size)
+    if segment_turns:
+        bucketed = bucketize_segmented(
+            series, settings.buffer_size, segment_turns=segment_turns
+        )
+    else:
+        bucketed = bucketize(series, settings.buffer_size)
     stages["bucketed"] = bucketed
     chunks = chunk_stats(bucketed, settings)
     if cache_chunks:
