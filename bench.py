@@ -64,6 +64,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    # tiny warmup run: JIT-compiles the scan/window/agg/arrow code paths so
+    # the timed stages below measure steady-state, not single-shot JVM warmup
+    warm = synthesize_transcripts(spark, n_convs=40, max_turns=60, seed=1, zipf=False)
+    warm_tmp = tempfile.mkdtemp(prefix="bench-warm-")
+    incremental_run(warm, RollupStore(spark, warm_tmp), settings, expire=False)
+    run_profile(warm, settings, do_gap_fill=True).count()
+    compress_points(
+        build_tiers(derive_series(warm), settings)["1m"]
+    ).count()
+    shutil.rmtree(warm_tmp, ignore_errors=True)
+
     # 1. synthesis (fully JVM-side, no Python in the data path)
     synth = synthesize_transcripts(
         spark, n_convs=SYNTH_CONVS, max_turns=SYNTH_TURNS, seed=42,

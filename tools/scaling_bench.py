@@ -162,10 +162,50 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(report, f, indent=2)
+    _update_baseline_md(report, args)
     print(json.dumps(report))
 
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
+
+
+MARKER = "<!-- AUTOGEN: latest scaling run -->"
+
+
+def _update_baseline_md(report: dict, args) -> None:
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    head = ""
+    if os.path.exists(path):
+        head = open(path).read().split(MARKER)[0].rstrip() + "\n\n"
+    s, l = args.small, args.large
+    rs, rl = report["runs"][s], report["runs"][l]
+    stages = sorted(set(rs["stages"]) | set(rl["stages"]))
+    rows = "\n".join(
+        f"| {st} | {rs['stages'].get(st, '—')} | {rl['stages'].get(st, '—')} | "
+        f"{round(rs['stages'][st] / (l / s * rl['stages'][st]), 3) if st in rs['stages'] and st in rl['stages'] else '—'} |"
+        for st in stages
+    )
+    section = f"""{MARKER}
+
+## Latest scaling run
+
+Input: {report['input_rows']:,} transcript rows (deterministic synth, seed 42).
+Identical `spark-submit --py-files` job at `local[{s}]` (N) vs `local[{l}]`
+(4N); warm steady-state pass reported (see protocol above).
+
+| stage (warm) | local[{s}] sec | local[{l}] sec | efficiency T(N)/(4·T(4N)) |
+|---|---|---|---|
+{rows}
+| **total** | **{rs['value']}** | **{rl['value']}** | **{report['scaling_efficiency_total']}** |
+
+* rolled-up points: {report['runs'][l]['rolled_points']:,}; points/sec
+  {rs['points_per_sec']:,} at N vs {rl['points_per_sec']:,} at 4N
+* outputs value-identical across sizes: {report['outputs_identical']}
+  (order-independent whole-row hash per tier + profiles)
+* target: ≥ {report['target']}
+"""
+    with open(path, "w") as f:
+        f.write(head + section)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,12 @@ def profile_pipeline(
         from pyspark import StorageLevel
 
         chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialize NOW: the profile join consumes this table in two
+        # concurrent subtrees, and a lazily-populated cache makes both
+        # branches race and each recompute the whole scan→gap-fill→bucketize
+        # subtree (cache fills per-partition with no cross-branch dedup).
+        # One eager count pins the cost to a single pass.
+        chunks.count()
     stages["chunks"] = chunks
     states = with_state(chunks, settings)
     stages["states"] = states

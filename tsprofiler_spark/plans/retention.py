@@ -48,22 +48,40 @@ def _cascade_partials(finer: DataFrame, tier: str) -> DataFrame:
     )
 
 
-def merge_transcript_batch(transcripts: DataFrame, store: RollupStore) -> list[dict]:
+def touched_days() -> F.Column:
+    """Aggregate expression: the set of yyyy-MM-dd days present in ``ts`` —
+    identical to the day partitions every tier bucket of this batch lands in
+    (minute/hour/day truncation preserves the day)."""
+    return F.collect_set(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+
+
+def merge_transcript_batch(
+    transcripts: DataFrame,
+    store: RollupStore,
+    affected: list[str] | None = None,
+) -> list[dict]:
     """MERGE one batch of transcripts into every tier; returns lineage.
 
     Shared by the batch-incremental job below and the Structured Streaming
     ``foreachBatch`` path (streaming/ingest.py) — identical semantics by
     construction, which is what the stream-vs-batch equality test pins.
+
+    ``affected`` (touched day partitions) is normally folded into the
+    caller's existing watermark aggregation (one job); when absent it is
+    computed here with a ts-only column-pruned scan.
     """
+    if affected is None:
+        affected = transcripts.agg(touched_days()).collect()[0][0]
     series = derive_series(transcripts)
     lineage: list[dict] = []
+    # persisted because 1m partials are both written (1m MERGE) and re-read
+    # by the 1h/1d cascades; the 1m merge write materializes the cache
     finest = _tier_partials(series, "1m").persist()
-    finest.count()
-    lineage += store.merge_tier(finest, "1m")
+    lineage += store.merge_tier(finest, "1m", affected=affected)
     coarser_src = finest
     for tier in ("1h", "1d"):
         partials = _cascade_partials(coarser_src, tier)
-        lineage += store.merge_tier(partials, tier)
+        lineage += store.merge_tier(partials, tier, affected=affected)
     finest.unpersist()
     return lineage
 
@@ -83,14 +101,15 @@ def incremental_run(
     new = transcripts
     if wm is not None:
         new = transcripts.where(F.col("ts") > F.lit(wm).cast("timestamp"))
-    # one scan for both the row count and the new watermark
-    n_new, new_wm = new.agg(
-        F.count(F.lit(1)), F.max("ts")
+    # one scan for the row count, the new watermark AND the touched day
+    # partitions (shared by every tier MERGE below)
+    n_new, new_wm, affected = new.agg(
+        F.count(F.lit(1)), F.max("ts"), touched_days()
     ).collect()[0]
     if n_new == 0:
         return {"run_id": run_id, "new_rows": 0, "partitions": []}
 
-    lineage = merge_transcript_batch(new, store)
+    lineage = merge_transcript_batch(new, store, affected=affected)
 
     store.manifest.record_run(run_id, new_wm.isoformat(sep=" "), lineage)
 

@@ -84,32 +84,48 @@ class RollupStore:
             return None
         return self.spark.read.option("basePath", p).parquet(p)
 
-    def merge_tier(self, new_partials: DataFrame, tier: str) -> list[dict]:
+    def merge_tier(
+        self,
+        new_partials: DataFrame,
+        tier: str,
+        affected: list[str] | None = None,
+    ) -> list[dict]:
         """Upsert tier partials by re-aggregating with stored partials on the
         affected day partitions only (continuous aggregate).
 
         Associative combine: n/s1/s2 sum, vmin min, vmax max — so
         late/duplicate windows fold exactly, and re-running the same input
         yields byte-identical partitions (idempotent).
+
+        ``affected`` (the touched yyyy-MM-dd day partitions) can be passed in
+        when the caller already knows it — the set is identical for every
+        tier of one batch (day truncation of the same bucket range), so the
+        incremental job computes it once instead of one collect per tier.
         """
         new_partials = new_partials.withColumn(
             "day", F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
         )
-        affected = [r.day for r in new_partials.select("day").distinct().collect()]
+        if affected is None:
+            affected = [r.day for r in new_partials.select("day").distinct().collect()]
         existing = self.read_tier(tier)
         combined = new_partials.select(*TIER_KEY, *PARTIALS, "day")
         if existing is not None:
             old = existing.where(F.col("day").isin(affected)).select(
                 *TIER_KEY, *PARTIALS, "day"
             )
-            combined = combined.unionByName(old)
-        merged = combined.groupBy(*TIER_KEY, "day").agg(
-            F.sum("n").alias("n"),
-            F.sum("s1").alias("s1"),
-            F.sum("s2").alias("s2"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-        )
+            merged = combined.unionByName(old).groupBy(*TIER_KEY, "day").agg(
+                F.sum("n").alias("n"),
+                F.sum("s1").alias("s1"),
+                F.sum("s2").alias("s2"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+        else:
+            # bootstrap load: partials come out of a groupBy on exactly
+            # (TIER_KEY, bucket day) — already one row per key, so the merge
+            # re-aggregation would be an identity shuffle of the full tier;
+            # skip it.
+            merged = combined
         # overwrite ONLY the affected day partitions in ONE write job
         # (Iceberg: MERGE INTO / dynamic partition overwrite)
         staged = merged.persist()

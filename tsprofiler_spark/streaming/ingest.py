@@ -62,10 +62,13 @@ def stream_transcripts(
 
 
 def merge_microbatch(
-    batch: DataFrame, store: RollupStore, settings: Settings
+    batch: DataFrame,
+    store: RollupStore,
+    settings: Settings,
+    affected: list[str] | None = None,
 ) -> list[dict]:
     """MERGE one micro-batch into every tier (same path as the batch job)."""
-    return merge_transcript_batch(batch, store)
+    return merge_transcript_batch(batch, store, affected=affected)
 
 
 def start_rollup_stream(
@@ -85,8 +88,13 @@ def start_rollup_stream(
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        lineage = merge_microbatch(batch, store, settings)
-        wm = batch.agg({"ts": "max"}).collect()[0][0]
+        from pyspark.sql import functions as F
+
+        from tsprofiler_spark.plans.retention import touched_days
+
+        # one scan: watermark + touched day partitions for every tier MERGE
+        wm, affected = batch.agg(F.max("ts"), touched_days()).collect()[0]
+        lineage = merge_microbatch(batch, store, settings, affected=affected)
         if wm is not None:
             store.manifest.record_run(
                 f"stream-{batch_id}", wm.isoformat(sep=" "), lineage
