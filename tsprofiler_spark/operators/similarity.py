@@ -148,3 +148,95 @@ def ann_topk(
         .select("query_id", "neighbor_id", "rank",
                 F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias("cosine_u"))
     )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 159,
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer (the classic inverted-file ANN layout).
+
+    KMeans (pyspark.ml, seeded → deterministic) learns ``n_centroids``
+    coarse centroids; every corpus vector is assigned to its nearest
+    centroid's inverted list. At 100 TB the corpus partitions by
+    ``centroid_id`` so a query touches only ``n_probe`` partitions instead
+    of the whole table. Returns (assigned, centroids): assigned =
+    (vec_id, centroid_id) for the full corpus; centroids = tiny
+    (centroid_id, centroid array<double>) table meant to be broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(
+        "vec_id", array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=8).fit(train)
+    assigned = model.transform(train).select(
+        "vec_id", F.col("prediction").cast("int").alias("centroid_id")
+    )
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_mod: int = 100,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 159,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: queries score only the ``n_probe``
+    inverted lists whose centroids are nearest the query.
+
+    Query→centroid distance ranks against the broadcast centroid table;
+    candidate scoring joins corpus vectors on centroid_id (bucket-local,
+    never O(n·q)); cosine runs JVM-side (zip_with/aggregate).
+    """
+    base = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("emb"))
+    assigned, centroids = ivf_index(embeddings, n_centroids, seed, vec_col)
+    corpus = base.join(assigned, "vec_id")
+
+    queries = base.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    # rank centroids per query on the broadcast centroid table
+    q_cent = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_emb",
+        "centroid_id",
+        _dot(F.col("q_emb"), F.col("centroid")).alias("qc_dot"),
+        _norm(F.col("centroid")).alias("c_norm"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        (F.col("qc_dot") / (F.lit(1e-12) + F.col("c_norm"))).desc()
+    )
+    probes = (
+        q_cent.withColumn("probe_rank", F.row_number().over(w_probe))
+        .where(F.col("probe_rank") <= n_probe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+
+    cand = probes.join(corpus, "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr(F.col("q_emb"), F.col("emb")).alias("cosine"),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_k))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -324,6 +324,17 @@ FROM dots GROUP BY vec_id
 _register("sim_ann_topk", lambda spark, sf: ann_topk(_embs(spark, sf), k=10, query_mod=100, n_planes=4))
 
 
+def _q_sim_ivf_topk(spark, sf):
+    """IVF ANN (KMeans coarse quantizer + inverted-list probe; seeded →
+    deterministic, but KMeans is iterative/non-SQL → rows-only check)."""
+    from tsprofiler_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_embs(spark, sf), k=10, query_mod=100, n_centroids=8, n_probe=3)
+
+
+_register("sim_ivf_topk", _q_sim_ivf_topk)
+
+
 # --- parity + predictor (sequential reference kernels; non-SQL-expressible,
 # --- rows-only driver check; bit-exactness is pinned in pytest vs the kernel) --
 

@@ -33,7 +33,10 @@ def get_spark(
     ``cores`` then only sizes shuffle partitions / default parallelism.
     """
     cores = cores or DEFAULT_CPUS
-    shuffle_partitions = shuffle_partitions or max(cores, 32)
+    # 4 shuffle tasks per slot: with exactly one wave (partitions == slots)
+    # a single straggler extends the whole stage; 4 waves give the scheduler
+    # room to rebalance, and AQE coalesces when partitions come out tiny
+    shuffle_partitions = shuffle_partitions or max(4 * cores, 32)
 
     builder = SparkSession.builder.appName(app_name)
     if not inherit_master:
