@@ -67,10 +67,14 @@ def generate_input(path: str, convs: int, turns: int) -> int:
 
 
 def run_at(zpath: str, inp: str, out: str, cores: int) -> dict:
+    # shuffle/spill dir beside the store (tmpfs when available) — same
+    # storage-scales-with-compute rationale as the work dir
+    local_dir = os.path.join(os.path.dirname(out), f"sparklocal{cores}")
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
         "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        "--conf", f"spark.local.dir={local_dir}",
         "--py-files", zpath,
         os.path.join(REPO, "tools", "run_pipeline.py"),
         "--input", inp, "--output", out, "--cores", str(cores),
@@ -120,7 +124,14 @@ def main() -> None:
     args = ap.parse_args()
 
     zpath = build_zip()
-    work = tempfile.mkdtemp(prefix="scaling-")
+    # Work dir on tmpfs when available: on a real cluster, input/output
+    # bandwidth comes from distributed storage and scales with executor
+    # count; this sandbox has ONE virtio disk (and a host that aggressively
+    # drops page cache), so a disk-backed work dir caps every parallelism
+    # level at the same MB/s and the benchmark measures the disk, not the
+    # engine. tmpfs restores the storage-scales-with-compute property.
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    work = tempfile.mkdtemp(prefix="scaling-", dir=base)
     inp = os.path.join(work, "transcripts.parquet")
 
     print(f"[scaling] generating input ({args.convs} convs x {args.turns} turns)...",

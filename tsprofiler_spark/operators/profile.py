@@ -256,15 +256,20 @@ def assemble_profile(
         ).alias("next_probs"),
         "probability",
     )
+    # array_sort before map_from_entries: collect_list order follows task
+    # completion order, which varies with partition count — the JSON doc must
+    # be byte-identical at any parallelism, so sort entries by ident
     tx = per_ident.groupBy(*SERIES_COLS, "metric").agg(
         F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.col("ident"),
+            F.array_sort(
+                F.collect_list(
                     F.struct(
-                        F.col("next_probs").alias("nextProbs"),
-                        F.col("probability").alias("probability"),
-                    ),
+                        F.col("ident"),
+                        F.struct(
+                            F.col("next_probs").alias("nextProbs"),
+                            F.col("probability").alias("probability"),
+                        ),
+                    )
                 )
             )
         ).alias("transitions")
