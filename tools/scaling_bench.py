@@ -1,21 +1,27 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence for the BASELINE.json north_rule.
 
-No real cluster exists in this sandbox, so the two cluster sizes (N and 4N
-executors) are evidenced by running the IDENTICAL spark-submit job at
-``--master local[8]`` and ``--master local[32]`` on the SAME input, per the
-driver instruction. The harness:
+No real multi-machine cluster exists in this sandbox, so the two cluster
+sizes (N and 4N executors) are evidenced per the driver instruction by
+running the IDENTICAL spark-submit job on the SAME input at two
+parallelism levels. Default mode `local-cluster` spawns REAL executor
+JVMs — ``local-cluster[1,8,mem]`` (N=1 executor x 8 cores) vs
+``local-cluster[4,8,mem]`` (4N) — with separate heaps, GC, and Python
+worker pools, and executors fetching ``--py-files`` exactly like a real
+cluster; mode `local` uses single-JVM local[8]/local[32] threads. The
+harness:
 
   1. packages ``tsprofiler_spark`` into ``dist/tsprofiler_spark.zip``
   2. generates one deterministic synthetic transcripts table (seeded)
   3. runs ``tools/run_pipeline.py`` via ``spark-submit --py-files`` at both
-     parallelism levels into separate output stores
+     sizes into separate output stores
   4. asserts the rollup-tier outputs are value-identical across the two runs
      (sorted whole-table hash per tier, via DuckDB over the parquet files)
   5. reports points/sec at both sizes and scaling efficiency
-     = T(8) / (4 * T(32)), writing BENCH/scaling.json and BENCH/BASELINE.md
+     = T(N) / (4 * T(4N)), writing BENCH/scaling.json and BENCH/BASELINE.md
 
-Usage: python tools/scaling_bench.py [--convs 8000] [--turns 400] [--keep]
+Usage: python tools/scaling_bench.py [--convs 8000] [--turns 400]
+       [--mode local-cluster|local] [--keep]
 """
 
 from __future__ import annotations
@@ -66,14 +72,30 @@ def generate_input(path: str, convs: int, turns: int) -> int:
     return n
 
 
-def run_at(zpath: str, inp: str, out: str, cores: int) -> dict:
+def run_at(zpath: str, inp: str, out: str, cores: int, mode: str) -> dict:
+    """One spark-submit of the pipeline.
+
+    mode 'local-cluster': cores/8 REAL executor JVMs x 8 cores each — the
+    closest sandbox analogue of the north_rule's "N and 4N executors"
+    (separate heaps, separate GC, separate Python worker pools, executors
+    fetch --py-files like a real cluster). mode 'local': single-JVM
+    local[cores] (thread-level evidence).
+    """
     # shuffle/spill dir beside the store (tmpfs when available) — same
     # storage-scales-with-compute rationale as the work dir
     local_dir = os.path.join(os.path.dirname(out), f"sparklocal{cores}")
+    if mode == "local-cluster":
+        n_exec = max(cores // 8, 1)
+        exec_mem_mb = int(os.environ.get("SPARK_EXEC_MEM_MB", "10240"))
+        master = f"local-cluster[{n_exec},8,{exec_mem_mb}]"
+        driver_mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+    else:
+        master = f"local[{cores}]"
+        driver_mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
     cmd = [
         "spark-submit",
-        "--master", f"local[{cores}]",
-        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        "--master", master,
+        "--driver-memory", driver_mem,
         "--conf", f"spark.local.dir={local_dir}",
         "--py-files", zpath,
         os.path.join(REPO, "tools", "run_pipeline.py"),
@@ -84,7 +106,7 @@ def run_at(zpath: str, inp: str, out: str, cores: int) -> dict:
     wall = time.perf_counter() - t0
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:])
-        raise SystemExit(f"spark-submit local[{cores}] failed")
+        raise SystemExit(f"spark-submit {master} failed")
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
     res = json.loads(line)
     res["submit_wall"] = round(wall, 3)
@@ -121,6 +143,10 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--mode", choices=("local-cluster", "local"),
+                    default="local-cluster",
+                    help="local-cluster: N vs 4N real executor JVMs (8 cores "
+                    "each); local: single-JVM thread scaling")
     args = ap.parse_args()
 
     zpath = build_zip()
@@ -144,7 +170,7 @@ def main() -> None:
     for cores in (args.small, args.large):
         out = os.path.join(work, f"out{cores}")
         print(f"[scaling] spark-submit --master local[{cores}] ...", file=sys.stderr)
-        results[cores] = run_at(zpath, inp, out, cores)
+        results[cores] = run_at(zpath, inp, out, cores, args.mode)
         hashes[cores] = tier_hashes(results[cores]["measured_store"])
         print(f"[scaling] local[{cores}]: {results[cores]['value']}s "
               f"({results[cores]['points_per_sec']} pts/s)", file=sys.stderr)
@@ -160,6 +186,7 @@ def main() -> None:
     )
 
     report = {
+        "mode": args.mode,
         "input_rows": n_rows,
         "small_cores": args.small,
         "large_cores": args.large,

@@ -182,6 +182,35 @@ def gap_fill_segmented(
     return _assemble_filled(exploded, step_seconds)
 
 
+def filter_outliers(series: DataFrame, k: int) -> DataFrame:
+    """Optional REAL outlier filter: drop observations with
+    ``|value - avg| >= k * stddev`` per (series, metric).
+
+    The reference computes exactly this predicate per value but DISCARDS the
+    result — the value is always appended (utils/outliers.go:5-11; unused
+    call profiler/buffer/buffer.go:54-58, "dead code" per SURVEY A5). Parity
+    mode therefore never applies it; this operator is the flag-gated live
+    version (Settings.filter_stddevs) for engine deployments that want the
+    filter the reference intended. Two-pass distributive form: global
+    per-series avg/stddev via groupBy, then a co-partitioned filter join.
+    ``k <= 0`` (the example-159 setting ``filterstddevs: -1``) disables it.
+    """
+    if k is None or k <= 0:
+        return series
+    stats = series.groupBy(*SERIES_COLS, "metric").agg(
+        F.avg("value").alias("_avg"), F.stddev_samp("value").alias("_sd")
+    )
+    joined = series.join(stats, [*SERIES_COLS, "metric"])
+    # sd NULL (single obs) or 0 (constant series) keeps everything — the raw
+    # reference predicate would call the whole constant series outliers
+    keep = (
+        F.col("_sd").isNull()
+        | (F.col("_sd") == 0.0)
+        | (F.abs(F.col("value") - F.col("_avg")) < F.lit(float(k)) * F.col("_sd"))
+    )
+    return joined.where(keep).select(*series.columns)
+
+
 def gap_fill_series(series: DataFrame) -> DataFrame:
     """LOCF the metric value over filled rows (value NULL where is_filled)."""
     from pyspark.sql import Window
