@@ -42,6 +42,14 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True,
                     help="executor-core count (sizes shuffle partitions)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--max-partition-bytes", default=None,
+        help="spark.sql.files.maxPartitionBytes override. Size input splits "
+        "by UNCOMPRESSED row volume: highly compressible columns (like the "
+        "synthetic transcripts' padded text, ~40x) need much smaller splits "
+        "than the 128m default or scan-stage partial aggregation builds "
+        "multi-gigabyte hash maps in a single task.",
+    )
     ap.add_argument("--skip-profiles", action="store_true")
     ap.add_argument("--skip-compress", action="store_true")
     ap.add_argument(
@@ -64,11 +72,15 @@ def main() -> None:
     from tsprofiler_spark.plans.storage import RollupStore
     from tsprofiler_spark.session import get_spark
 
+    extra_conf = {}
+    if args.max_partition_bytes:
+        extra_conf["spark.sql.files.maxPartitionBytes"] = args.max_partition_bytes
     spark = get_spark(
         app_name=f"tsprofiler-pipeline-c{args.cores}",
         cores=args.cores,
         shuffle_partitions=args.shuffle_partitions,
         inherit_master=True,
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     master = spark.sparkContext.master

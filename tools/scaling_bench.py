@@ -100,6 +100,14 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str) -> dict:
         "--py-files", zpath,
         os.path.join(REPO, "tools", "run_pipeline.py"),
         "--input", inp, "--output", out, "--cores", str(cores),
+        # partition count is a property of the DATA, not the cluster size:
+        # both sizes get identical partitioning (equal per-task memory, so
+        # the small cluster just runs more waves — exactly how a fixed
+        # dataset behaves when the executor fleet grows)
+        "--shuffle-partitions", "128",
+        # synthetic text compresses ~40x, so 128m splits would hold 10M+
+        # rows and blow up scan-stage partial aggregation in one task
+        "--max-partition-bytes", "8m",
     ]
     t0 = time.perf_counter()
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
