@@ -84,9 +84,12 @@ def main() -> None:
 
     series = derive_series(synth)
 
-    # 2. full profile pipeline (gap-fill -> chunk stats -> states -> tx -> profile)
-    profile = run_profile(synth, settings, do_gap_fill=True, step_seconds=60)
-    counters["profiles"] = timed("profile_full", profile.count)
+    # 2. full profile pipeline (gap-fill -> chunk stats -> states -> tx -> profile);
+    # run_profile goes INSIDE the timing: it eagerly materializes the chunk cache
+    counters["profiles"] = timed(
+        "profile_full",
+        lambda: run_profile(synth, settings, do_gap_fill=True, step_seconds=60).count(),
+    )
 
     # 3. retention tiers: incremental MERGE run with manifest + lineage
     tmp = tempfile.mkdtemp(prefix="bench-tiers-")

@@ -74,6 +74,13 @@ def main() -> None:
 
     extra_conf = {}
     if args.max_partition_bytes:
+        import re
+
+        if not re.fullmatch(r"\d+[bkmg]?", args.max_partition_bytes.lower()):
+            ap.error(
+                f"--max-partition-bytes: invalid size {args.max_partition_bytes!r}"
+                " (expected e.g. 8m, 128m, 1g)"
+            )
         extra_conf["spark.sql.files.maxPartitionBytes"] = args.max_partition_bytes
     spark = get_spark(
         app_name=f"tsprofiler-pipeline-c{args.cores}",

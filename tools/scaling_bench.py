@@ -231,15 +231,16 @@ def _update_baseline_md(report: dict, args) -> None:
         f"{round(rs['stages'][st] / (l / s * rl['stages'][st]), 3) if st in rs['stages'] and st in rl['stages'] else '—'} |"
         for st in stages
     )
+    m_s, m_l = rs.get("master", f"local[{s}]"), rl.get("master", f"local[{l}]")
     section = f"""{MARKER}
 
 ## Latest scaling run
 
 Input: {report['input_rows']:,} transcript rows (deterministic synth, seed 42).
-Identical `spark-submit --py-files` job at `local[{s}]` (N) vs `local[{l}]`
-(4N); warm steady-state pass reported (see protocol above).
+Identical `spark-submit --py-files` job at `{m_s}` (N) vs `{m_l}` (4N);
+best warm steady-state pass reported (see protocol above).
 
-| stage (warm) | local[{s}] sec | local[{l}] sec | efficiency T(N)/(4·T(4N)) |
+| stage (warm) | {m_s} sec | {m_l} sec | efficiency T(N)/(4·T(4N)) |
 |---|---|---|---|
 {rows}
 | **total** | **{rs['value']}** | **{rl['value']}** | **{report['scaling_efficiency_total']}** |
