@@ -167,3 +167,42 @@ def ngram_jaccard_pairs(
         "nb",
         F.floor(F.col("jaccard") * 1000000 + F.lit(0.5)).cast("long").alias("jaccard_u"),
     )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-restricted.
+
+    The scale path for vector near-dup at 10^9+ embeddings: candidates come
+    only from equal random-hyperplane LSH buckets (`operators/similarity.py
+    lsh_buckets` — deterministic planes, identical in DuckDB), then exact
+    cosine filters at ``threshold``. The candidate join is bucket-local
+    (never the O(n^2) cross join); at cluster scale the corpus partitions
+    by bucket. Returns (keep_id, dup_id, cosine) with keep_id < dup_id.
+
+    Expects columns (vec_id, embedding array<float|double>).
+    """
+    from tsprofiler_spark.operators.similarity import cosine_expr, lsh_buckets
+
+    base = vectors.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    buckets = lsh_buckets(vectors, n_planes=n_planes, dim=dim)
+    b = base.join(buckets, "vec_id")
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("keep_id"),
+        F.col("c.vec_id").alias("dup_id"),
+        cosine_expr(F.col("a.emb"), F.col("c.emb")).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold).select(
+        "keep_id", "dup_id", F.round("cosine", 6).alias("cosine")
+    )

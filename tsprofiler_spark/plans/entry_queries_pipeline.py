@@ -324,6 +324,68 @@ FROM dots GROUP BY vec_id
 _register("sim_ann_topk", lambda spark, sf: ann_topk(_embs(spark, sf), k=10, query_mod=100, n_planes=4))
 
 
+# --- dedup_embedding: embedding-cosine near-dup (LSH-bucket-restricted) ------
+# The driver corpus has no natural near-dups (max pairwise cosine ~0.51), so
+# the query plants them deterministically: every 50th vector gets a copy at
+# vec_id+100000 with a small index-dependent additive perturbation — built
+# with the SAME arithmetic in Spark and DuckDB, so the whole pipeline
+# (buckets -> candidate pairs -> exact cosine >= threshold) is value-checked.
+
+def _q_dedup_embedding(spark, sf):
+    from tsprofiler_spark.operators.dedup import embedding_near_dups
+
+    base = _embs(spark, sf).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1 + ((i % 7) - 3) * F.lit(0.01))
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    return embedding_near_dups(aug, threshold=0.97, n_planes=6)
+
+
+_W_PLANE6 = _W_PLANE
+
+_register(
+    "dedup_embedding",
+    _q_dedup_embedding,
+    f"""
+WITH orig AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list(v * (1 + (((d - 1) % 7) - 3) * 0.01) ORDER BY d) AS emb
+  FROM (SELECT vec_id, d, emb[d] AS v FROM orig CROSS JOIN dims) x
+  WHERE vec_id % 50 = 0 GROUP BY vec_id
+),
+base AS (SELECT * FROM orig UNION ALL SELECT * FROM pert),
+planes AS (
+  SELECT p, d, (({_W_PLANE6}) % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(generate_series(0, 5)) AS p) ps CROSS JOIN dims
+),
+x AS (SELECT vec_id, d, emb[d] AS v FROM base CROSS JOIN dims),
+dots AS (SELECT vec_id, p, SUM(v * w) AS dot FROM x JOIN planes USING (d) GROUP BY vec_id, p),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+b AS (SELECT base.vec_id, emb, bucket FROM base JOIN buckets USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS keep_id, c.vec_id AS dup_id,
+    list_dot_product(a.emb, c.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT keep_id, dup_id, ROUND(cos, 6) AS cosine FROM pairs WHERE cos >= 0.97
+""".strip(),
+)
+
+
 def _q_sim_ivf_topk(spark, sf):
     """IVF ANN (KMeans coarse quantizer + inverted-list probe; seeded →
     deterministic, but KMeans is iterative/non-SQL → rows-only check)."""
