@@ -65,6 +65,37 @@ def test_ngram_jaccard_on_planted_near_dups(docs):
     assert all(v == 1000000 for _, v in exact)  # identical text -> jaccard 1
 
 
+def test_ngram_jaccard_max_df_prunes_hot_shingle(docs, spark):
+    # plant a hot shingle: 60 otherwise-unrelated docs sharing one boilerplate
+    # 3-gram ("rights reserved inc") — the standalone join's quadratic skew case
+    hot = spark.range(60).select(
+        (F.col("id") + 900000).alias("doc_id"),
+        F.concat(
+            F.lit("rights reserved inc unique"),
+            F.col("id").cast("string"),
+            F.lit(" filler"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.lit(40).alias("n_chars"),
+    )
+    corpus = docs.unionByName(hot)
+    uncapped = ngram_jaccard_pairs(corpus, n=3, threshold=0.0).where(
+        (F.col("doc_a") >= 900000) & (F.col("doc_b") >= 900000)
+    )
+    capped = ngram_jaccard_pairs(corpus, n=3, threshold=0.0, max_df=50).where(
+        (F.col("doc_a") >= 900000) & (F.col("doc_b") >= 900000)
+    )
+    assert uncapped.count() == 60 * 59 // 2  # hot shingle goes quadratic
+    assert capped.count() == 0  # df cap removes the hot key from the join
+    # exact pairs below the cap are unaffected (planted exact dups df=2)
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=50).where(
+        F.col("doc_b") - F.col("doc_a") == 100000
+    )
+    assert exact.count() >= 5
+
+
 def test_simhash_near_dups_have_small_hamming(docs):
     sh = {r.doc_id: int(r.simhash) for r in simhash(docs).collect()}
     for base_id in [k for k in sh if k + 200000 in sh][:5]:

@@ -146,7 +146,10 @@ def tx_likeliness_multi(
                 break
         lsum += tx_likeliness_single(tx, from_states, to_state)
         lcount += 1
-    return lsum / np.float32(lcount)
+    # lcount == 0 -> NaN is reference semantics (models/txmatrix.go:140-142);
+    # suppress the numpy warning so bench/driver logs stay readable
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return lsum / np.float32(lcount)
 
 
 def empty_tx(metric: str = "") -> dict:

@@ -108,42 +108,81 @@ def minhash_candidates(documents: DataFrame, k: int = 12, rows_per_band: int = 3
 
 
 def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
-    """SimHash fingerprint: per bit, sign-sum of token-hash bits."""
+    """SimHash fingerprint: per bit, sign-sum of token-hash bits.
+
+    Shuffle profile: ONE groupBy(doc_id) moving one 8-byte hash per token.
+    The per-bit ±1 sign sums fold JVM-side over the collected hash list
+    (`aggregate` + `zip_with` elementwise array add) — no per-bit row
+    explosion. The naive formulation (explode token × bit, double groupBy)
+    shuffles 32× the rows for the same fingerprint; at 100 TB that factor
+    IS the job cost.
+
+    A token list for one document is bounded by document size (collect_list
+    is per-doc, not per-corpus), so executor memory is safe at scale.
+    """
     tokens = documents.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).where(F.col("token") != "")
     hashed = tokens.select("doc_id", h32(F.col("token")).alias("h"))
-    per_bit = hashed.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(
-            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("bigint") % 2) == 1,
-            F.lit(1),
-        ).otherwise(F.lit(-1)).alias("sign"),
+    agg = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+    bit_seq = F.sequence(F.lit(0), F.lit(bits - 1))
+    zeros = F.transform(bit_seq, lambda b: F.lit(0).cast("bigint"))
+    sign_sums = F.aggregate(
+        F.col("hs"),
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_seq,
+            lambda a, b: a
+            + F.when(
+                (F.floor(h / F.pow(F.lit(2.0), b)).cast("bigint") % 2) == 1,
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(-1).cast("bigint")),
+        ),
     )
-    bit_sums = per_bit.groupBy("doc_id", "bit").agg(F.sum("sign").alias("s"))
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).otherwise(0)
-        ).alias("simhash")
+    fingerprint = F.aggregate(
+        F.zip_with(
+            sign_sums,
+            bit_seq,
+            lambda s, b: F.when(s > 0, F.pow(F.lit(2.0), b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
+    return agg.select("doc_id", fingerprint.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over shingle joins: |A∩B| / |A∪B| >= threshold.
 
     Intended as the LSH verifier; standalone it joins on shared shingles,
     so cost is bounded by true overlap, not n². Jaccard is emitted in
     integer micro-units for cross-engine hash parity.
+
+    ``max_df``: document-frequency cap for the standalone path. A single
+    hot shingle shared by m documents makes its join key emit m² candidate
+    rows — boilerplate/stop-shingles go quadratic at corpus scale. Shingles
+    with df > max_df are dropped from the JOIN side only (the standard
+    stop-shingle cut); sizes (|A|, |B|) still count every shingle, so the
+    reported Jaccard only ever *under*-counts overlap for affected pairs.
+    ``None`` (default) keeps exact semantics — matching the oracle at test
+    scale; production sets a cap (e.g. 1000).
     """
     sh = doc_shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(F.broadcast(df_counts.where(F.col("_df") > max_df)), "shingle", "left_anti")
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

@@ -225,6 +225,15 @@ def series_stats(chunks: DataFrame, settings: Settings) -> DataFrame:
         min_col.alias("min"),
         max_col.alias("max"),
         F.sum("stddev_sum").alias("stddev_sum"),
+        # Canonical order-independent form for cross-engine value checks:
+        # per-chunk stddev_sum is a deterministic double (pure function of
+        # the chunk + exact cumulative integer sums), but SUM(double) over
+        # partial aggregation is order-dependent at the 1e-6 rounding
+        # boundary. Rounding each chunk to integer micro-units FIRST makes
+        # the sum exact and associative at any parallelism.
+        F.sum(
+            F.floor(F.col("stddev_sum") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        ).alias("stddev_sum_u"),
         F.sqrt(F.sum("stddev_sum") / F.sum("n")).alias("stddev"),
         F.count(F.lit(1)).alias("n_chunks"),
     )

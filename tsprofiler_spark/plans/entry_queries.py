@@ -268,7 +268,9 @@ def q_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "conv_id", "tool", "role", "metric", "count",
         F.col("min"), F.col("max"), F.col("avg"),
-        _micro(F.col("stddev_sum")).alias("stddev_sum_u"),
+        # order-independent canonical form: per-chunk micro-units are rounded
+        # BEFORE the sum (integer sum is associative — no partial-agg flake)
+        "stddev_sum_u",
         "n_chunks",
     )
 
@@ -282,7 +284,7 @@ SELECT {SERIES}, metric, SUM(n) AS count,
        CAST({SETTINGS.fixed_min} AS DOUBLE) AS min,
        CAST({SETTINGS.fixed_max} AS DOUBLE) AS max,
        SUM(s1) / SUM(n) AS avg,
-       {_U.format(x='SUM(stddev_sum)')} AS stddev_sum_u,
+       CAST(SUM({_U.format(x='stddev_sum')}) AS BIGINT) AS stddev_sum_u,
        COUNT(*) AS n_chunks
 FROM states GROUP BY {SERIES}, metric
 """.strip()

@@ -538,17 +538,67 @@ def _q_predictor_simulate(spark, sf):
 
 _register("predictor_simulate", _q_predictor_simulate)
 
-# --- multimodal plumbing (decode is stubbed; python-side -> rows-only) ------------------------
+# --- multimodal plumbing (decode honestly stubbed: the byte-histogram fake is
+# --- deterministic, so BOTH queries are value-checked against DuckDB — the
+# --- documents corpus is pure ASCII, so bytes == code points on the SQL side) --
 
 def _q_multimodal_features(spark, sf):
-    return decode_features(attach_payload(_docs(spark, sf), "image"))
+    feats = decode_features(attach_payload(_docs(spark, sf), "image"))
+    # project the array<double> column to exploded scalars: list-valued
+    # columns are not hashable by the driver's canonicalizer
+    return feats.select(
+        "doc_id", "modality", "n_bytes", "decoder",
+        F.posexplode("features").alias("feature_idx", "fv"),
+    ).select(
+        "doc_id", "modality", "n_bytes", "decoder",
+        F.col("feature_idx").cast("int").alias("feature_idx"),
+        F.floor(F.col("fv") * 1000000.0 + F.lit(0.5)).cast("long").alias("value_u"),
+    )
 
 
 def _q_multimodal_frames(spark, sf):
     return sample_frames(attach_payload(_docs(spark, sf), "video")).select(
-        "doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
+        "doc_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
     )
 
 
-_register("multimodal_features", _q_multimodal_features)
-_register("multimodal_frames", _q_multimodal_frames)
+_register(
+    "multimodal_features",
+    _q_multimodal_features,
+    """
+WITH b AS (SELECT doc_id, length(text) AS n_bytes FROM documents),
+pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+),
+cnt AS (
+  SELECT doc_id, CAST(FLOOR(ascii(substr(text, CAST(i AS INT), 1)) / 16) AS INT) AS feature_idx,
+         COUNT(*) AS c
+  FROM pos GROUP BY 1, 2
+),
+grid AS (
+  SELECT doc_id, n_bytes, unnest(generate_series(0, 15)) AS fi FROM b
+)
+SELECT g.doc_id, 'image' AS modality, CAST(g.n_bytes AS BIGINT) AS n_bytes,
+       'stub-bytehist' AS decoder, CAST(g.fi AS INT) AS feature_idx,
+       CAST(FLOOR(COALESCE(c.c, 0) / GREATEST(g.n_bytes, 1) * 1000000 + 0.5) AS BIGINT) AS value_u
+FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.feature_idx = g.fi
+""".strip(),
+)
+
+_register(
+    "multimodal_frames",
+    _q_multimodal_frames,
+    """
+WITH b AS (SELECT doc_id, length(text) AS n FROM documents),
+f AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, CAST(LEAST(8, GREATEST(1, FLOOR(n / 64))) AS BIGINT) - 1)) AS fi
+  FROM b
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(LEAST(64, n - fi * 64) AS INT) AS frame_len
+FROM f
+""".strip(),
+)
