@@ -43,6 +43,44 @@ def test_gap_fill_segmented_equals_plain(spark, skewed):
     assert len(plain) > 0
 
 
+def test_gap_fill_locf_ignorenulls_and_dup_turns(spark):
+    """NULL role/tool must LOCF past an intervening NULL observed row (the
+    spine-join ignorenulls contract), NULL role on observed rows is
+    backfilled, and a duplicate (conv_id, turn_idx) row re-emits only
+    itself (no fabricated descending sequence)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c", 0, "user", "a", "bash", t0),
+        ("c", 2, None, "b", None, t0 + dt.timedelta(minutes=2)),   # NULL role/tool
+        ("c", 5, "asst", "c", "grep", t0 + dt.timedelta(minutes=5)),
+        ("c", 5, "asst", "c2", "grep", t0 + dt.timedelta(minutes=5)),  # dup turn
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    for out in (
+        gap_fill(df, step_seconds=60),
+        gap_fill_segmented(df, step_seconds=60, segment_turns=2),
+    ):
+        got = {
+            (r.turn_idx, bool(r.is_filled)): (r.role, r.tool, r.text)
+            for r in out.collect()
+        }
+        # gap row at turn 1 takes the last non-null (turn 0)
+        assert got[(1, True)][:2] == ("user", "bash")
+        # gap rows at 3 and 4 look PAST the NULL observed turn 2 back to turn 0
+        assert got[(3, True)][:2] == ("user", "bash")
+        assert got[(4, True)][:2] == ("user", "bash")
+        # observed NULL role/tool at turn 2 is backfilled, text untouched
+        assert got[(2, False)] == ("user", "bash", "b")
+        # duplicate turn 5: two observed rows, no extra fabricated turns
+        assert out.where("turn_idx = 5").count() == 2
+        assert out.where("turn_idx > 5").count() == 0
+        assert out.count() == 7  # 0..5 spine (6 rows) + the duplicate, nothing else
+
+
 def test_bucketize_segmented_equals_plain(spark, skewed):
     series = derive_series(skewed)
     cols = ["conv_id", "tool", "role", "metric", "turn_idx", "seq", "bucket_idx"]

@@ -12,7 +12,11 @@ from tsprofiler_spark.config import Settings
 from tsprofiler_spark.plans.retention import incremental_run
 from tsprofiler_spark.plans.storage import RollupStore
 from tsprofiler_spark.sources.transcripts import synthesize_transcripts
-from tsprofiler_spark.streaming import start_rollup_stream, stream_transcripts
+from tsprofiler_spark.streaming import (
+    process_microbatch,
+    start_rollup_stream,
+    stream_transcripts,
+)
 
 SETTINGS = Settings(fix_bound=True, fixed_min=0.0, fixed_max=128.0, states=6)
 
@@ -71,3 +75,28 @@ def test_stream_equals_batch_and_resumes(spark, transcripts, tmp_path):
     assert any(
         r["run_id"].startswith("stream-") for r in stream_store.manifest.runs
     )
+
+
+def test_microbatch_replay_does_not_double_count(spark, transcripts, tmp_path):
+    """foreachBatch is at-least-once: a crash between merge and checkpoint
+    commit replays the micro-batch with the SAME batch_id. The snapshot
+    commit + run_id dedupe must make the replay a no-op."""
+    store = RollupStore(spark, str(tmp_path / "s"))
+    process_microbatch(transcripts, 0, store)
+    before = {t: _tier_rows(store, t) for t in ("1m", "1h", "1d")}
+    wm_before = store.manifest.watermark
+
+    # replay: same data, same batch_id (as Structured Streaming would)
+    assert process_microbatch(transcripts, 0, store) == []
+    for t in ("1m", "1h", "1d"):
+        assert _tier_rows(store, t) == before[t], t
+    assert store.manifest.watermark == wm_before
+    assert len(store.manifest.runs) == 1
+
+    # a NEW batch_id with new data still merges
+    more = synthesize_transcripts(
+        spark, n_convs=2, max_turns=50, seed=11, step_seconds=600
+    )
+    process_microbatch(more, 1, store)
+    assert len(store.manifest.runs) == 2
+    assert _tier_rows(store, "1m") != before["1m"]

@@ -35,10 +35,17 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
     left-joining observed turns (the relational formulation the DuckDB
     oracle uses), but executed as ONE window pass + explode: each observed
     row emits ``sequence(prev_turn + 1, turn_idx)``, so the gap rows
-    preceding it are generated in place, carrying the previous observed
-    row's role/tool (exactly last-ignorenulls LOCF), NULL text, an
-    interpolated ts, and is_filled=true. Observed rows pass through
-    unchanged (per-turn text equality invariant).
+    preceding it are generated in place, carrying the last NON-NULL
+    role/tool of any preceding observed row (exactly last-ignorenulls
+    LOCF — a NULL role on the immediately previous row falls through to the
+    one before it), NULL text, an interpolated ts, and is_filled=true.
+    Observed rows keep text/ts unchanged (per-turn text equality
+    invariant); a NULL role/tool on an observed row is backfilled the same
+    LOCF way, matching the spine-join formulation.
+
+    Duplicate (conv_id, turn_idx) rows are tolerated: the sequence start is
+    clamped to turn_idx, so a repeated turn re-emits only itself (never a
+    fabricated descending range).
 
     Why not the join: at 10^12 turns the spine join either broadcasts the
     observed side (driver-sized hash relation — catastrophic) or adds two
@@ -48,6 +55,7 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_prec = w.rowsBetween(Window.unboundedPreceding, -1)
     wc = Window.partitionBy("conv_id")
 
     annotated = transcripts.select(
@@ -58,8 +66,8 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
         "tool",
         "ts",
         F.lag("turn_idx").over(w).alias("prev_turn"),
-        F.lag("role").over(w).alias("prev_role"),
-        F.lag("tool").over(w).alias("prev_tool"),
+        F.last("role", ignorenulls=True).over(w_prec).alias("prev_role"),
+        F.last("tool", ignorenulls=True).over(w_prec).alias("prev_tool"),
         F.min("ts").over(wc).alias("min_ts"),
         F.min("turn_idx").over(wc).alias("min_turn"),
     )
@@ -76,7 +84,10 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
         (F.col("turn_idx")).alias("obs_turn"),
         F.explode(
             F.sequence(
-                F.coalesce(F.col("prev_turn") + 1, F.lit(0)), F.col("turn_idx")
+                F.least(
+                    F.coalesce(F.col("prev_turn") + 1, F.lit(0)), F.col("turn_idx")
+                ),
+                F.col("turn_idx"),
             )
         ).alias("turn_idx"),
     )
@@ -85,8 +96,9 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
 
 def _assemble_filled(exploded: DataFrame, step_seconds: int) -> DataFrame:
     """Final projection shared by gap_fill and gap_fill_segmented: observed
-    rows pass through untouched; gap rows carry the previous observed row's
-    role/tool, NULL text, and an interpolated ts."""
+    rows keep text/ts untouched (role/tool LOCF-backfilled when NULL); gap
+    rows carry the last non-null preceding role/tool, NULL text, and an
+    interpolated ts."""
     is_obs = F.col("turn_idx") == F.col("obs_turn")
     out_text = F.when(is_obs, F.col("text"))
     filled_ts = F.when(is_obs, F.col("ts")).otherwise(
@@ -99,9 +111,13 @@ def _assemble_filled(exploded: DataFrame, step_seconds: int) -> DataFrame:
     return exploded.select(
         "conv_id",
         "turn_idx",
-        F.when(is_obs, F.col("role")).otherwise(F.col("prev_role")).alias("role"),
+        F.when(is_obs, F.coalesce(F.col("role"), F.col("prev_role")))
+        .otherwise(F.col("prev_role"))
+        .alias("role"),
         out_text.alias("text"),
-        F.when(is_obs, F.col("tool")).otherwise(F.col("prev_tool")).alias("tool"),
+        F.when(is_obs, F.coalesce(F.col("tool"), F.col("prev_tool")))
+        .otherwise(F.col("prev_tool"))
+        .alias("tool"),
         filled_ts.alias("ts"),
         out_text.isNull().alias("is_filled"),
     )
@@ -114,14 +130,16 @@ def gap_fill_segmented(
 
     Plain `gap_fill` runs one lag-window per conv_id — a hot conversation
     (north_rule skew case) lands in a single task. Here turn ranges of
-    ``segment_turns`` form salted sub-keys: the lag runs per
-    (conv_id, segment), and the one row of cross-segment state each segment
-    needs — the last observed row of its predecessor — comes from a tiny
-    per-segment boundary table (one row per non-empty segment) lag-joined
-    back co-partitioned on (conv_id, segment). Conversation-level
-    min(ts)/min(turn_idx) likewise come from an aggregate of the boundary
-    table instead of a whole-series window. Ordering inside groups is
-    untouched: segments partition the turn_idx axis monotonically.
+    ``segment_turns`` form salted sub-keys: the windows run per
+    (conv_id, segment), and the cross-segment state each segment needs —
+    its predecessor's last turn_idx, and the last NON-NULL role/tool of
+    ALL preceding segments (ignorenulls LOCF must see past a trailing-NULL
+    segment) — comes from a tiny per-segment boundary table (one row per
+    non-empty segment) windowed and joined back co-partitioned on
+    (conv_id, segment). Conversation-level min(ts)/min(turn_idx) likewise
+    come from an aggregate of the boundary table instead of a whole-series
+    window. Ordering inside groups is untouched: segments partition the
+    turn_idx axis monotonically.
     """
     from pyspark.sql import Window
 
@@ -129,6 +147,7 @@ def gap_fill_segmented(
         "_seg", (F.col("turn_idx") / F.lit(segment_turns)).cast("long")
     )
     w_local = Window.partitionBy("conv_id", "_seg").orderBy("turn_idx")
+    w_local_prec = w_local.rowsBetween(Window.unboundedPreceding, -1)
     local = s.select(
         "conv_id",
         "turn_idx",
@@ -138,45 +157,55 @@ def gap_fill_segmented(
         "ts",
         "_seg",
         F.lag("turn_idx").over(w_local).alias("_lp_turn"),
-        F.lag("role").over(w_local).alias("_lp_role"),
-        F.lag("tool").over(w_local).alias("_lp_tool"),
+        F.last("role", ignorenulls=True).over(w_local_prec).alias("_lp_role"),
+        F.last("tool", ignorenulls=True).over(w_local_prec).alias("_lp_tool"),
     )
 
+    # per-segment boundary row: last turn, last non-null role/tool (max_by
+    # ignores NULL ordering keys, so all-NULL segments yield NULL and the
+    # cross-segment last(ignorenulls) below skips them)
     seg = s.groupBy("conv_id", "_seg").agg(
+        F.max("turn_idx").alias("_last_turn"),
         F.max_by(
-            F.struct(
-                F.col("turn_idx").alias("turn"),
-                F.col("role").alias("role"),
-                F.col("tool").alias("tool"),
-            ),
-            F.col("turn_idx"),
-        ).alias("_last"),
+            "role", F.when(F.col("role").isNotNull(), F.col("turn_idx"))
+        ).alias("_last_role"),
+        F.max_by(
+            "tool", F.when(F.col("tool").isNotNull(), F.col("turn_idx"))
+        ).alias("_last_tool"),
         F.min("ts").alias("_mts"),
         F.min("turn_idx").alias("_mturn"),
     )
     w_seg = Window.partitionBy("conv_id").orderBy("_seg")
+    w_seg_prec = w_seg.rowsBetween(Window.unboundedPreceding, -1)
     boundaries = seg.select(
-        "conv_id", "_seg", F.lag("_last").over(w_seg).alias("_prev_last")
+        "conv_id",
+        "_seg",
+        F.lag("_last_turn").over(w_seg).alias("_prev_seg_turn"),
+        F.last("_last_role", ignorenulls=True).over(w_seg_prec).alias("_prev_seg_role"),
+        F.last("_last_tool", ignorenulls=True).over(w_seg_prec).alias("_prev_seg_tool"),
     )
     conv_mins = seg.groupBy("conv_id").agg(
         F.min("_mts").alias("min_ts"), F.min("_mturn").alias("min_turn")
     )
 
     j = local.join(boundaries, ["conv_id", "_seg"]).join(conv_mins, "conv_id")
-    prev_turn = F.coalesce(F.col("_lp_turn"), F.col("_prev_last.turn"))
+    prev_turn = F.coalesce(F.col("_lp_turn"), F.col("_prev_seg_turn"))
     exploded = j.select(
         "conv_id",
         "role",
         "text",
         "tool",
         "ts",
-        F.coalesce(F.col("_lp_role"), F.col("_prev_last.role")).alias("prev_role"),
-        F.coalesce(F.col("_lp_tool"), F.col("_prev_last.tool")).alias("prev_tool"),
+        F.coalesce(F.col("_lp_role"), F.col("_prev_seg_role")).alias("prev_role"),
+        F.coalesce(F.col("_lp_tool"), F.col("_prev_seg_tool")).alias("prev_tool"),
         "min_ts",
         "min_turn",
         F.col("turn_idx").alias("obs_turn"),
         F.explode(
-            F.sequence(F.coalesce(prev_turn + 1, F.lit(0)), F.col("turn_idx"))
+            F.sequence(
+                F.least(F.coalesce(prev_turn + 1, F.lit(0)), F.col("turn_idx")),
+                F.col("turn_idx"),
+            )
         ).alias("turn_idx"),
     )
     return _assemble_filled(exploded, step_seconds)

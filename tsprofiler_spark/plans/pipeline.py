@@ -39,15 +39,21 @@ def profile_pipeline(
     cache_chunks: bool = True,
     segment_turns: int | None = None,
 ) -> dict[str, DataFrame]:
-    """Return every intermediate stage keyed by name (lazily composed).
+    """Return every intermediate stage keyed by name.
 
     ``cache_chunks`` persists the per-chunk stats table (1/buffer_size the
-    raw row count): both the transition branch and the stats branch of the
-    final profile consume it, and without the cache Catalyst re-executes
-    the whole scan→gap-fill→bucketize subtree once per branch. At cluster
-    scale this table is the natural materialization point (it IS the
-    queryable bucketed intermediate — reference A25) and would be written
-    to its own Iceberg table instead.
+    raw row count) and materializes it EAGERLY (one count() job): both the
+    transition branch and the stats branch of the final profile consume it,
+    and without the pinned cache Catalyst re-executes the whole
+    scan→gap-fill→bucketize subtree once per branch. So with the default
+    the returned plan is NOT fully lazy — one upstream pass runs here.
+    The persisted handle is returned as ``stages["chunks"]``; callers that
+    build many pipelines in one long-lived session (tests, notebooks)
+    should ``stages["chunks"].unpersist()`` when done, else the
+    MEMORY_AND_DISK entries accumulate. At cluster scale this table is the
+    natural materialization point (it IS the queryable bucketed
+    intermediate — reference A25) and would be written to its own Iceberg
+    table instead.
     """
     stages: dict[str, DataFrame] = {}
     t = transcripts
@@ -95,4 +101,7 @@ def profile_pipeline(
 
 
 def run_profile(transcripts: DataFrame, settings: Settings, **kw) -> DataFrame:
+    """Profile DataFrame only. NOTE: with cache_chunks=True (default) the
+    intermediate chunk table stays persisted for the profile's lifetime;
+    use profile_pipeline() directly when you need the unpersist handle."""
     return profile_pipeline(transcripts, settings, **kw)["profile"]

@@ -58,31 +58,50 @@ def touched_days() -> F.Column:
 def merge_transcript_batch(
     transcripts: DataFrame,
     store: RollupStore,
+    run_id: str,
+    watermark: str,
     affected: list[str] | None = None,
 ) -> list[dict]:
-    """MERGE one batch of transcripts into every tier; returns lineage.
+    """MERGE one batch of transcripts into every tier in ONE snapshot
+    commit; returns lineage (empty when ``run_id`` was already committed).
 
     Shared by the batch-incremental job below and the Structured Streaming
     ``foreachBatch`` path (streaming/ingest.py) — identical semantics by
     construction, which is what the stream-vs-batch equality test pins.
 
+    Exactly-once under at-least-once replay: a previously committed
+    ``run_id`` is skipped outright; a crash mid-batch leaves only staged
+    (invisible) day versions, and the replay re-stages them idempotently
+    from the same committed base snapshot before the single
+    ``commit_run`` publishes all three tiers + the watermark atomically.
+
     ``affected`` (touched day partitions) is normally folded into the
     caller's existing watermark aggregation (one job); when absent it is
     computed here with a ts-only column-pruned scan.
     """
+    if store.manifest.has_run(run_id):
+        return []  # replayed micro-batch / re-run — already committed
     if affected is None:
         affected = transcripts.agg(touched_days()).collect()[0][0]
     series = derive_series(transcripts)
     lineage: list[dict] = []
+    pointers: dict[str, dict[str, str]] = {}
     # persisted because 1m partials are both written (1m MERGE) and re-read
     # by the 1h/1d cascades; the 1m merge write materializes the cache
     finest = _tier_partials(series, "1m").persist()
-    lineage += store.merge_tier(finest, "1m", affected=affected)
+    tier_lineage, tier_ptrs = store.merge_tier(finest, "1m", run_id, affected=affected)
+    lineage += tier_lineage
+    pointers["1m"] = tier_ptrs
     coarser_src = finest
     for tier in ("1h", "1d"):
         partials = _cascade_partials(coarser_src, tier)
-        lineage += store.merge_tier(partials, tier, affected=affected)
+        tier_lineage, tier_ptrs = store.merge_tier(
+            partials, tier, run_id, affected=affected
+        )
+        lineage += tier_lineage
+        pointers[tier] = tier_ptrs
     finest.unpersist()
+    store.commit_run(run_id, watermark, lineage, pointers)
     return lineage
 
 
@@ -95,7 +114,6 @@ def incremental_run(
 ) -> dict:
     """One resumable incremental run. Returns run stats."""
     tiers_cfg = tiers_cfg or DEFAULT_TIERS
-    run_id = uuid.uuid4().hex[:12]
 
     wm = store.manifest.watermark
     new = transcripts
@@ -107,11 +125,17 @@ def incremental_run(
         F.count(F.lit(1)), F.max("ts"), touched_days()
     ).collect()[0]
     if n_new == 0:
-        return {"run_id": run_id, "new_rows": 0, "partitions": []}
+        return {"run_id": None, "new_rows": 0, "partitions": []}
+    # deterministic run_id from the data window: a crashed-then-retried run
+    # over the same watermark range stages/commits the same snapshot (and a
+    # replay after commit is a recorded no-op); also keeps output dirs
+    # byte-comparable across parallelism levels in the scaling bench
+    new_wm_iso = new_wm.isoformat(sep=" ")
+    run_id = "run-" + uuid.uuid5(uuid.NAMESPACE_URL, f"{wm}->{new_wm_iso}").hex[:12]
 
-    lineage = merge_transcript_batch(new, store, affected=affected)
-
-    store.manifest.record_run(run_id, new_wm.isoformat(sep=" "), lineage)
+    lineage = merge_transcript_batch(
+        new, store, run_id, new_wm_iso, affected=affected
+    )
 
     if expire:
         for tier, cfg in tiers_cfg.items():

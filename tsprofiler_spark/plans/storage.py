@@ -1,18 +1,26 @@
-"""Rollup storage: incremental MERGE of tier partials + checkpoint manifest.
+"""Rollup storage: snapshot-committed MERGE of tier partials + manifest.
 
 On a real cluster this layer targets Iceberg (`MERGE INTO` keyed on
 (series, metric, bucket_start), partition spec (days(bucket_start),
 bucket(N, conv_id)), snapshot expiry for TTL). This sandbox has no Iceberg
-runtime jar, so the same contract is implemented as parquet
-partition-overwrite emulation: tier tables live under
-``<base>/tier=<t>/day=<yyyy-mm-dd>/`` and a MERGE rewrites exactly the
-affected day partitions (idempotent upsert — re-running the same input
-window is a no-op).
+runtime jar, so the same *commit semantics* are implemented directly:
 
-The checkpoint manifest (JSON) carries the high-watermark `ts`, run lineage
-and per-partition row/byte metrics, making every job resumable
-(north_rule). `use_iceberg()` flips to real MERGE INTO when the catalog is
-configured.
+* tier data lives in per-day **versioned** directories
+  ``<base>/tier=<t>/day=<yyyy-mm-dd>/v=<run_id>/``;
+* a MERGE **stages** new day versions (write-then-swap: one Spark write job
+  into a staging dir, then a rename per affected day);
+* the checkpoint manifest (JSON, atomic ``os.replace``) holds the committed
+  ``{tier: {day: version}}`` pointers, the high-watermark `ts`, and run
+  lineage — readers only ever see committed versions.
+
+This is what makes ingestion **exactly-once under at-least-once replay**
+(Structured Streaming's foreachBatch, or a re-run batch job): a crash
+anywhere before the single manifest commit leaves the committed pointers
+untouched, so the replay recomputes the same day versions from the same
+committed base snapshot and idempotently overwrites the staged dirs. There
+is no window in which a partially-merged tier is visible, and no additive
+double-count — the same mechanism (and the same reason) as an Iceberg
+snapshot commit.
 """
 
 from __future__ import annotations
@@ -41,16 +49,44 @@ class Manifest:
     path: str
     watermark: str | None = None  # max ingested ts (ISO)
     runs: list = field(default_factory=list)
+    # committed snapshot pointers: tier -> {day -> version (run_id)}
+    tiers: dict = field(default_factory=dict)
 
     @staticmethod
     def load(path: str) -> "Manifest":
         if os.path.exists(path):
             with open(path) as f:
                 d = json.load(f)
-            return Manifest(path=path, watermark=d.get("watermark"), runs=d.get("runs", []))
+            return Manifest(
+                path=path,
+                watermark=d.get("watermark"),
+                runs=d.get("runs", []),
+                tiers=d.get("tiers", {}),
+            )
         return Manifest(path=path)
 
-    def record_run(self, run_id: str, watermark: str, partitions: list[dict]) -> None:
+    def has_run(self, run_id: str) -> bool:
+        return any(r.get("run_id") == run_id for r in self.runs)
+
+    def _save(self) -> None:
+        tmp = self.path + ".tmp"
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(
+                {"watermark": self.watermark, "runs": self.runs, "tiers": self.tiers},
+                f,
+                indent=1,
+            )
+        os.replace(tmp, self.path)  # THE atomic commit point
+
+    def record_run(
+        self,
+        run_id: str,
+        watermark: str,
+        partitions: list[dict],
+        pointers: dict[str, dict[str, str]] | None = None,
+    ) -> None:
+        """Single atomic commit: watermark + lineage + tier snapshot pointers."""
         self.watermark = watermark
         self.runs.append(
             {
@@ -60,15 +96,20 @@ class Manifest:
                 "partitions": partitions,
             }
         )
-        tmp = self.path + ".tmp"
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump({"watermark": self.watermark, "runs": self.runs}, f, indent=1)
-        os.replace(tmp, self.path)  # atomic commit of the checkpoint
+        for tier, days in (pointers or {}).items():
+            self.tiers.setdefault(tier, {}).update(days)
+        self._save()
+
+    def drop_days(self, tier: str, days: list[str]) -> None:
+        """Commit a TTL expiry (pointer removal) before any dir deletion."""
+        t = self.tiers.get(tier, {})
+        for d in days:
+            t.pop(d, None)
+        self._save()
 
 
 class RollupStore:
-    """Tier tables with MERGE-by-partition semantics and lineage metrics."""
+    """Tier tables with snapshot-commit MERGE semantics and lineage metrics."""
 
     def __init__(self, spark: SparkSession, base_path: str):
         self.spark = spark
@@ -78,29 +119,43 @@ class RollupStore:
     def _tier_path(self, tier: str) -> str:
         return os.path.join(self.base, f"tier={tier}")
 
+    def _day_dir(self, tier: str, day: str, version: str) -> str:
+        return os.path.join(self._tier_path(tier), f"day={day}", f"v={version}")
+
     def read_tier(self, tier: str) -> DataFrame | None:
-        p = self._tier_path(tier)
-        if not os.path.isdir(p):
+        """Committed snapshot of a tier (only manifest-pointed versions)."""
+        pointers = self.manifest.tiers.get(tier)
+        if not pointers:
             return None
-        return self.spark.read.option("basePath", p).parquet(p)
+        paths = [self._day_dir(tier, day, ver) for day, ver in sorted(pointers.items())]
+        df = self.spark.read.option("basePath", self._tier_path(tier)).parquet(*paths)
+        # partition inference types day= as DATE; keep the string contract
+        return df.drop("v").withColumn(
+            "day", F.date_format(F.col("day"), "yyyy-MM-dd")
+        )
 
     def merge_tier(
         self,
         new_partials: DataFrame,
         tier: str,
+        run_id: str,
         affected: list[str] | None = None,
-    ) -> list[dict]:
-        """Upsert tier partials by re-aggregating with stored partials on the
-        affected day partitions only (continuous aggregate).
+    ) -> tuple[list[dict], dict[str, str]]:
+        """Stage the MERGE of tier partials as new day versions (NOT yet
+        visible — the caller commits all tiers at once via `commit_run`).
 
-        Associative combine: n/s1/s2 sum, vmin min, vmax max — so
-        late/duplicate windows fold exactly, and re-running the same input
-        yields byte-identical partitions (idempotent).
+        Associative combine against the committed snapshot: n/s1/s2 sum,
+        vmin min, vmax max — so late/duplicate windows fold exactly, and
+        re-staging the same input (replay with the same run_id) overwrites
+        the same version dirs byte-identically.
 
         ``affected`` (the touched yyyy-MM-dd day partitions) can be passed in
         when the caller already knows it — the set is identical for every
         tier of one batch (day truncation of the same bucket range), so the
         incremental job computes it once instead of one collect per tier.
+
+        Returns (lineage, pointers) where pointers = {day: run_id} for every
+        staged day.
         """
         new_partials = new_partials.withColumn(
             "day", F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
@@ -126,52 +181,96 @@ class RollupStore:
             # re-aggregation would be an identity shuffle of the full tier;
             # skip it.
             merged = combined
-        # overwrite ONLY the affected day partitions in ONE write job
-        # (Iceberg: MERGE INTO / dynamic partition overwrite)
         staged = merged.persist()
         per_day = {
             r.day: r.rows
             for r in staged.groupBy("day").agg(F.count(F.lit(1)).alias("rows")).collect()
         }
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # a staged day outside `affected` means its existing rows were never
+        # unioned in — committing would silently drop them. The invariant
+        # (ts-derived touched_days covers every tier-bucket day) is cheap to
+        # enforce here because per_day is collected anyway.
+        missing = sorted(set(per_day) - set(affected))
+        if missing:
+            staged.unpersist()
+            raise ValueError(
+                f"merge_tier({tier}): staged days {missing} not covered by "
+                f"affected={sorted(affected)} — existing data would be lost"
+            )
+        # write-then-swap: ONE write job into a staging dir, then a rename
+        # per day into its versioned location (Iceberg: MERGE INTO + commit)
+        staging = os.path.join(self._tier_path(tier), f"_staging-{run_id}")
         # Repartition by (day, conv_id-hash) — NOT by day alone: one shuffle
         # partition per day would serialize the write to #days tasks and leave
         # one giant file per day partition, strangling downstream scan
-        # parallelism. Multiple files per day-dir is fine for dynamic
-        # partition overwrite (and for Iceberg MERGE on a real cluster).
+        # parallelism. Multiple files per day-dir is fine (and matches how an
+        # Iceberg MERGE distributes its writes on a real cluster).
         n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        staged.repartition(n_out, "day", "conv_id").write.partitionBy(
-            "day"
-        ).mode("overwrite").parquet(self._tier_path(tier))
+        staged.repartition(n_out, "day", "conv_id").write.partitionBy("day").mode(
+            "overwrite"
+        ).parquet(staging)
         staged.unpersist()
+        pointers: dict[str, str] = {}
         lineage = []
-        for day in affected:
-            part_path = os.path.join(self._tier_path(tier), f"day={day}")
+        for day in sorted(per_day):
+            src = os.path.join(staging, f"day={day}")
+            dst = self._day_dir(tier, day, run_id)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # replayed run_id: idempotent overwrite
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            pointers[day] = run_id
             size = sum(
                 os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(part_path)
+                for dp, _, fs in os.walk(dst)
                 for f in fs
             )
             lineage.append(
                 {"tier": tier, "day": day, "rows": per_day.get(day, 0), "bytes": size}
             )
-        return lineage
+        shutil.rmtree(staging, ignore_errors=True)
+        return lineage, pointers
+
+    def commit_run(
+        self,
+        run_id: str,
+        watermark: str,
+        lineage: list[dict],
+        pointers: dict[str, dict[str, str]],
+    ) -> None:
+        """Atomically publish every staged tier version + watermark, then GC
+        superseded version dirs (safe post-commit: readers only follow the
+        manifest)."""
+        old = {
+            tier: dict(self.manifest.tiers.get(tier, {})) for tier in pointers
+        }
+        self.manifest.record_run(run_id, watermark, lineage, pointers)
+        for tier, days in pointers.items():
+            for day, ver in days.items():
+                prev = old.get(tier, {}).get(day)
+                if prev is not None and prev != ver:
+                    shutil.rmtree(
+                        self._day_dir(tier, day, prev), ignore_errors=True
+                    )
 
     def expire(self, tier: str, ttl_days: int) -> list[str]:
         """TTL expiry: drop whole day partitions older than watermark - ttl
-        (Iceberg: DELETE WHERE + expire_snapshots)."""
+        (Iceberg: DELETE WHERE + expire_snapshots). Pointer removal commits
+        first; dir deletion is post-commit cleanup."""
         if self.manifest.watermark is None:
             return []
         import datetime as dt
 
         wm = dt.datetime.fromisoformat(self.manifest.watermark)
         cutoff = (wm - dt.timedelta(days=ttl_days)).strftime("%Y-%m-%d")
-        dropped = []
-        tier_path = self._tier_path(tier)
-        if not os.path.isdir(tier_path):
+        dropped = sorted(
+            d for d in self.manifest.tiers.get(tier, {}) if d < cutoff
+        )
+        if not dropped:
             return dropped
-        for entry in sorted(os.listdir(tier_path)):
-            if entry.startswith("day=") and entry[4:] < cutoff:
-                shutil.rmtree(os.path.join(tier_path, entry))
-                dropped.append(entry[4:])
+        self.manifest.drop_days(tier, dropped)
+        for day in dropped:
+            shutil.rmtree(
+                os.path.join(self._tier_path(tier), f"day={day}"), ignore_errors=True
+            )
         return dropped

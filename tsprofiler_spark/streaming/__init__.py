@@ -1,13 +1,13 @@
 from tsprofiler_spark.streaming.ingest import (
     TRANSCRIPTS_SCHEMA,
-    merge_microbatch,
+    process_microbatch,
     start_rollup_stream,
     stream_transcripts,
 )
 
 __all__ = [
     "TRANSCRIPTS_SCHEMA",
-    "merge_microbatch",
+    "process_microbatch",
     "start_rollup_stream",
     "stream_transcripts",
 ]

@@ -3,12 +3,22 @@
 The reference ingests via a push channel (`Put` — /root/reference/
 profiler/profiler.go:63-65, 99-133); our continuous analogue is a
 Structured Streaming file/Iceberg source feeding ``foreachBatch``, where
-every micro-batch runs the SAME idempotent tier MERGE the batch-incremental
-job uses (`plans/retention.py`). State between micro-batches lives in the
-rollup tables themselves (continuous aggregates), so the streaming query
-needs no Spark state store beyond its source-offset checkpoint — restarts
-and replays are safe because the MERGE is idempotent by (series, bucket)
-key and the combine (n/s1/s2 sum, vmin/vmax min/max) is associative.
+every micro-batch runs the SAME snapshot-committed tier MERGE the
+batch-incremental job uses (`plans/retention.py`). State between
+micro-batches lives in the rollup tables themselves (continuous
+aggregates), so the streaming query needs no Spark state store beyond its
+source-offset checkpoint.
+
+Replay semantics: foreachBatch is **at-least-once** (the source offset WAL
+is written before the batch runs, the commit log after), so a crash inside
+``process`` replays the micro-batch with the same ``batch_id``. That is
+safe here for two stacked reasons (plans/storage.py): (1) an already
+*committed* ``run_id`` ("stream-<batch_id>") is detected in the manifest
+and skipped; (2) a crash *before* the commit left only staged, invisible
+day versions, which the replay idempotently re-stages from the same
+committed base snapshot — the additive partial fold never runs twice
+against visible data, so nothing double-counts and no tier can be observed
+mid-merge.
 
 Late data needs no watermark-based dropping: a late turn simply re-MERGEs
 into the tier bucket it belongs to (the tier tables are upserts, not
@@ -61,14 +71,28 @@ def stream_transcripts(
     return reader.parquet(input_path)
 
 
-def merge_microbatch(
-    batch: DataFrame,
-    store: RollupStore,
-    settings: Settings,
-    affected: list[str] | None = None,
+def process_microbatch(
+    batch: DataFrame, batch_id: int, store: RollupStore
 ) -> list[dict]:
-    """MERGE one micro-batch into every tier (same path as the batch job)."""
-    return merge_transcript_batch(batch, store, affected=affected)
+    """MERGE one micro-batch into every tier (same snapshot-commit path as
+    the batch job), keyed by the deterministic stream run_id — replaying
+    the same ``batch_id`` is a no-op. Exposed at module level so the
+    replay-safety test can drive it directly."""
+    if batch.isEmpty():
+        return []
+    from pyspark.sql import functions as F
+
+    from tsprofiler_spark.plans.retention import touched_days
+
+    run_id = f"stream-{batch_id}"
+    if store.manifest.has_run(run_id):
+        return []  # at-least-once replay of a committed batch
+    # one scan: watermark + touched day partitions for every tier MERGE
+    wm, affected = batch.agg(F.max("ts"), touched_days()).collect()[0]
+    watermark = wm.isoformat(sep=" ") if wm is not None else store.manifest.watermark
+    return merge_transcript_batch(
+        batch, store, run_id, watermark, affected=affected
+    )
 
 
 def start_rollup_stream(
@@ -86,19 +110,7 @@ def start_rollup_stream(
     """
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        from pyspark.sql import functions as F
-
-        from tsprofiler_spark.plans.retention import touched_days
-
-        # one scan: watermark + touched day partitions for every tier MERGE
-        wm, affected = batch.agg(F.max("ts"), touched_days()).collect()[0]
-        lineage = merge_microbatch(batch, store, settings, affected=affected)
-        if wm is not None:
-            store.manifest.record_run(
-                f"stream-{batch_id}", wm.isoformat(sep=" "), lineage
-            )
+        process_microbatch(batch, batch_id, store)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
