@@ -119,3 +119,51 @@ def test_profiler_period_tree_and_phases_run():
     assert any(ch["txmatrix"] for ch in root["children"])
     assert len(doc["phases"]["phases"]) >= 1
     assert doc["phases"]["tx"]["metric"] == "phasetx"
+
+
+def test_put_block_bit_exact_vs_put():
+    """put_block (vectorized parity-fold ingest) must be bit-exact vs the
+    per-turn put() path: multi-metric, dynamic bounds (rescale), period
+    tree + phases, incomplete trailing chunk, and a mid-stream handoff
+    between the two APIs."""
+    import json
+
+    settings = Settings(
+        buffer_size=3, states=5, history=2, fix_bound=False,
+        period_size=(3, 4), phase_change_likeliness=0.5, phase_change_history=4,
+    )
+    rng = np.random.default_rng(159)
+    metrics = ["m_a", "m_b"]
+    vals = np.round(rng.uniform(0, 120, size=(101, 2)), 3)  # 101 % 3 != 0
+
+    slow = ReferenceProfiler(settings)
+    for row in vals:
+        slow.put(list(zip(metrics, row)))
+
+    fast = ReferenceProfiler(settings)
+    fast.put_block(metrics, vals)
+    assert json.dumps(fast.get_profile(), sort_keys=True) == json.dumps(
+        slow.get_profile(), sort_keys=True
+    )
+    assert fast.get_history() == slow.get_history()
+
+    # handoff: 2 per-turn puts (partial buffer) then a block
+    mixed = ReferenceProfiler(settings)
+    for row in vals[:2]:
+        mixed.put(list(zip(metrics, row)))
+    mixed.put_block(metrics, vals[2:])
+    assert json.dumps(mixed.get_profile(), sort_keys=True) == json.dumps(
+        slow.get_profile(), sort_keys=True
+    )
+
+    # a block containing the exact -1.0 buffer sentinel falls back per-turn
+    v2 = vals.copy()
+    v2[50, 1] = -1.0
+    s2 = ReferenceProfiler(settings)
+    for row in v2:
+        s2.put(list(zip(metrics, row)))
+    f2 = ReferenceProfiler(settings)
+    f2.put_block(metrics, v2)
+    assert json.dumps(f2.get_profile(), sort_keys=True) == json.dumps(
+        s2.get_profile(), sort_keys=True
+    )

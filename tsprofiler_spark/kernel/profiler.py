@@ -101,14 +101,64 @@ class ReferenceProfiler:
             buffers = self._buffers
             self._buffers = []
             self._buffer_index = {}
-            tsstates = self._discretize(buffers)
-            self.overall_counter.count_all(tsstates)
-            self.last_states = tsstates
-            if len(self.settings.period_size) > 0:
-                self.period.count(tsstates)
-            if self.settings.phase_change_likeliness != 0:
-                self.phase.count(tsstates)
+            self._close_chunk(buffers)
             self._item_count = 0
+
+    def _close_chunk(self, buffers: list[_Buffer]) -> None:
+        """Chunk-boundary fan-out (profiler.go:107-131): discretize, then
+        root counter, period tree, phase detection — in that order, like the
+        reference's mutex-serialized dispatch."""
+        tsstates = self._discretize(buffers)
+        self.overall_counter.count_all(tsstates)
+        self.last_states = tsstates
+        if len(self.settings.period_size) > 0:
+            self.period.count(tsstates)
+        if self.settings.phase_change_likeliness != 0:
+            self.phase.count(tsstates)
+
+    def put_block(self, metric_names: list[str], values: np.ndarray) -> None:
+        """Vectorized ingest of many complete turns: bit-exact equivalent of
+        ``put()`` per row of ``values`` (shape (n_turns, len(metric_names)),
+        row order = arrival order, column j = metric_names[j]).
+
+        The reference pipeline is only *sequential per chunk* (the running
+        current_avg fold, counter/period/phase) — the per-turn work is pure
+        buffer fill, so full chunks skip the per-turn path entirely and the
+        chunk min/max come from one numpy reduction per chunk. The pinned
+        buffer quirks survive: Max zero-init -> max(0, np.max); the Min
+        sentinel (-1) only diverges from np.min when a value is exactly
+        -1.0 (models/tsbuffer.go:24-33), so such blocks take the exact
+        per-turn path instead. Partial buffer state (from earlier put()
+        calls) is drained per-turn until a chunk boundary; trailing
+        incomplete turns are fed per-turn so later puts continue exactly.
+        """
+        values = np.ascontiguousarray(np.asarray(values, dtype=np.float64))
+        n_turns = values.shape[0]
+        bsize = self.settings.buffer_size
+        i = 0
+        while i < n_turns and self._item_count > 0:
+            self.put([(m, float(values[i, j])) for j, m in enumerate(metric_names)])
+            i += 1
+        if not (values == -1.0).any():
+            while i + bsize <= n_turns:
+                chunk = values[i : i + bsize]
+                buffers = []
+                for j, m in enumerate(metric_names):
+                    raw = chunk[:, j]
+                    buf = _Buffer(
+                        metric=m,
+                        fixed_min=self.settings.fixed_min,
+                        fixed_max=self.settings.fixed_max,
+                    )
+                    buf.raw = raw
+                    buf.min = float(raw.min())
+                    mx = float(raw.max())
+                    buf.max = mx if mx > 0.0 else 0.0
+                    buffers.append(buf)
+                self._close_chunk(buffers)
+                i += bsize
+        for k in range(i, n_turns):
+            self.put([(m, float(values[k, j])) for j, m in enumerate(metric_names)])
 
     def put_series(self, values: np.ndarray, metric: str = "metric_0") -> None:
         """Convenience: feed a 1-metric series in order."""

@@ -51,13 +51,36 @@ def parity_profiles(series: DataFrame, settings: Settings) -> DataFrame:
     """
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         from tsprofiler_spark.kernel.profiler import ReferenceProfiler
 
         pdf = pdf.sort_values(["ts", "turn_idx", "metric"], kind="mergesort")
         prof = ReferenceProfiler(settings)
-        # group rows into turns: consecutive rows sharing (ts, turn_idx)
-        for (_, _), turn in pdf.groupby(["ts", "turn_idx"], sort=True):
-            prof.put(list(zip(turn["metric"], turn["value"])))
+        # Fast path: when every turn carries the same metric set (the normal
+        # shape — one sorted metric tile per (ts, turn_idx)), the sorted
+        # frame reshapes to a dense (n_turns, n_metrics) value matrix and
+        # the kernel ingests whole chunks vectorized (put_block), skipping
+        # the per-turn pandas groupby that dominated the fold cost.
+        metric_names = sorted(pdf["metric"].unique().tolist())
+        n_m = len(metric_names)
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        dense = len(pdf) % n_m == 0
+        if dense:
+            n_turns = len(pdf) // n_m
+            mets = pdf["metric"].to_numpy().reshape(n_turns, n_m)
+            dense = bool((mets == np.array(metric_names)).all())
+            if dense and n_m > 1:
+                # each tile row must be ONE turn (constant (ts, turn_idx))
+                tk = pdf["turn_idx"].to_numpy().reshape(n_turns, n_m)
+                ts = pdf["ts"].to_numpy().reshape(n_turns, n_m)
+                dense = bool((tk == tk[:, :1]).all() and (ts == ts[:, :1]).all())
+        if dense:
+            prof.put_block(metric_names, vals.reshape(n_turns, n_m))
+        else:
+            # ragged metric sets: exact per-turn replay
+            for (_, _), turn in pdf.groupby(["ts", "turn_idx"], sort=True):
+                prof.put(list(zip(turn["metric"], turn["value"])))
         doc = prof.get_profile()
         hist = prof.get_history()
         first = pdf.iloc[0]
