@@ -184,6 +184,30 @@ def ivf_index(
     return assigned, centroids
 
 
+def assign_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (squared euclidean, ties on centroid_id)
+    against a broadcast centroid table — the inverted-list build step when
+    the coarse quantizer is supplied explicitly instead of learned.
+
+    ``base`` = (vec_id, emb array<double>); ``centroids`` = (centroid_id,
+    centroid array<double>).
+    """
+    d2 = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "centroid_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 10,
@@ -192,6 +216,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 159,
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: queries score only the ``n_probe``
     inverted lists whose centroids are nearest the query.
@@ -199,9 +224,17 @@ def ivf_topk(
     Query→centroid distance ranks against the broadcast centroid table;
     candidate scoring joins corpus vectors on centroid_id (bucket-local,
     never O(n·q)); cosine runs JVM-side (zip_with/aggregate).
+
+    ``centroids`` (centroid_id, centroid array<double>) supplies an
+    explicit coarse quantizer (deterministic sample, product-of-experts,
+    pre-trained codebook, ...); default None learns seeded KMeans centroids
+    via `ivf_index`.
     """
     base = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("emb"))
-    assigned, centroids = ivf_index(embeddings, n_centroids, seed, vec_col)
+    if centroids is None:
+        assigned, centroids = ivf_index(embeddings, n_centroids, seed, vec_col)
+    else:
+        assigned = assign_centroids(base, centroids)
     corpus = base.join(assigned, "vec_id")
 
     queries = base.where(F.col("vec_id") % query_mod == 0).select(
@@ -216,7 +249,8 @@ def ivf_topk(
         _norm(F.col("centroid")).alias("c_norm"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
-        (F.col("qc_dot") / (F.lit(1e-12) + F.col("c_norm"))).desc()
+        (F.col("qc_dot") / (F.lit(1e-12) + F.col("c_norm"))).desc(),
+        F.col("centroid_id"),
     )
     probes = (
         q_cent.withColumn("probe_rank", F.row_number().over(w_probe))

@@ -317,11 +317,51 @@ FROM dots GROUP BY vec_id
 """.strip(),
 )
 
-# ANN inside LSH buckets: rank ties under float noise make a cross-engine
-# hash flaky -> rows-only check; recall-vs-brute-force is pinned in pytest.
-# 4 planes = 16 buckets: sized for the 500-vector test corpus (the plane
-# count scales with log2(n/target_bucket_size) in production).
-_register("sim_ann_topk", lambda spark, sf: ann_topk(_embs(spark, sf), k=10, query_mod=100, n_planes=4))
+# ANN inside LSH buckets, multi-probe (own bucket + every Hamming-1 bucket).
+# Fully SQL-expressible: buckets use the same deterministic hyperplanes as
+# sim_lsh_buckets, candidates join bucket-locally, ties break on neighbor_id
+# like sim_brute_topk. 4 planes = 16 buckets: sized for the 500-vector test
+# corpus (the plane count scales with log2(n/target_bucket_size) in
+# production). Recall-vs-brute-force is additionally pinned in pytest.
+_register(
+    "sim_ann_topk",
+    lambda spark, sf: ann_topk(_embs(spark, sf), k=10, query_mod=100, n_planes=4),
+    f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+planes AS (
+  SELECT p, d, (({_W_PLANE}) % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(generate_series(0, 3)) AS p) ps CROSS JOIN dims
+),
+x AS (SELECT vec_id, d, emb[d] AS v FROM base CROSS JOIN dims),
+dots AS (SELECT vec_id, p, SUM(v * w) AS dot FROM x JOIN planes USING (d) GROUP BY vec_id, p),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+b AS (SELECT base.vec_id, emb, bucket FROM base JOIN buckets USING (vec_id)),
+qprobe AS (
+  SELECT vec_id AS query_id, emb AS q_emb,
+         unnest([bucket] || [xor(bucket, CAST(pow(2, p) AS BIGINT))
+                             for p in generate_series(0, 3)]) AS q_bucket
+  FROM b WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+    list_dot_product(q.q_emb, b.emb)
+      / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM qprobe q JOIN b ON b.bucket = q.q_bucket AND b.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_u
+FROM ranked WHERE rank <= 10
+""".strip(),
+)
 
 
 # --- dedup_embedding: embedding-cosine near-dup (LSH-bucket-restricted) ------
@@ -388,13 +428,93 @@ SELECT keep_id, dup_id, ROUND(cos, 6) AS cosine FROM pairs WHERE cos >= 0.97
 
 def _q_sim_ivf_topk(spark, sf):
     """IVF ANN (KMeans coarse quantizer + inverted-list probe; seeded →
-    deterministic, but KMeans is iterative/non-SQL → rows-only check)."""
+    deterministic, but KMeans is iterative/non-SQL → rows-only check here;
+    recall + determinism pinned in test_similarity_ivf.py. The SQL-checked
+    variant of the identical probe/assign/score path is sim_ivf_fixed_topk)."""
     from tsprofiler_spark.operators.similarity import ivf_topk
 
     return ivf_topk(_embs(spark, sf), k=10, query_mod=100, n_centroids=8, n_probe=3)
 
 
 _register("sim_ivf_topk", _q_sim_ivf_topk)
+
+
+def _q_sim_ivf_fixed_topk(spark, sf):
+    """Same IVF machinery with an explicit deterministic coarse quantizer
+    (every 61st embedding = a centroid), so assignment, probe ranking, and
+    bucket-local scoring are ALL value-checked against DuckDB — only the
+    KMeans training step (sim_ivf_topk) stays outside SQL."""
+    from pyspark.sql import Window
+
+    from tsprofiler_spark.operators.similarity import ivf_topk
+
+    embs = _embs(spark, sf)
+    cent = (
+        embs.where(F.col("vec_id") % 61 == 3)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+        .withColumn(
+            "centroid_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
+        )
+        .select("centroid_id", "centroid")
+    )
+    return ivf_topk(embs, k=10, query_mod=100, n_probe=3, centroids=cent)
+
+
+_register(
+    "sim_ivf_fixed_topk",
+    _q_sim_ivf_fixed_topk,
+    """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+         emb AS centroid
+  FROM base WHERE vec_id % 61 = 3
+),
+assign0 AS (
+  SELECT b.vec_id, c.centroid_id,
+    list_sum([pow(b.emb[d] - c.centroid[d], 2) for d in generate_series(1, 64)]) AS d2
+  FROM base b CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT query_id, q_emb, centroid_id FROM (
+    SELECT q.query_id, q.q_emb, c.centroid_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.q_emb, c.centroid)
+                 / (1e-12 + sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                 c.centroid_id
+      ) AS probe_rank
+    FROM q CROSS JOIN cent c
+  ) WHERE probe_rank <= 3
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+    list_dot_product(p.q_emb, b.emb)
+      / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+  FROM probes p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN base b ON b.vec_id = a.vec_id
+  WHERE b.vec_id != p.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+""".strip(),
+)
 
 
 # --- parity + predictor (sequential reference kernels; non-SQL-expressible,
@@ -416,6 +536,146 @@ def _q_parity_profiles(spark, sf):
 
 
 _register("parity_profiles", _q_parity_profiles)
+
+
+# The parity fold's ROOT TxMatrix is SQL-expressible for this config
+# (fix_bound + history=1: chunk states and transition counts are pure
+# functions of the data — SURVEY §7 "scale mode validates parity mode"), so
+# the sequential applyInPandas kernel gets a HARD value check here: explode
+# the profile_json documents back into (ident, next_state, prob_pct,
+# step_prob) rows and compare against DuckDB recomputing the same matrix
+# relationally. parity_profiles itself stays rows-only (period tree/phases
+# are order-dependent non-SQL), but its core matrix is now oracle-graded.
+_ROOTTX_JSON_SCHEMA = (
+    "array<struct<metric: string, transitions: "
+    "map<string, struct<nextProbs: array<int>, probability: int>>>>"
+)
+
+
+def _q_parity_roottx(spark, sf):
+    profiles = _q_parity_profiles(spark, sf)
+    rt = profiles.select(
+        "conv_id",
+        "tool",
+        "role",
+        F.from_json(
+            F.get_json_object("profile_json", "$.roottx"), _ROOTTX_JSON_SCHEMA
+        ).alias("roottx"),
+    )
+    per_metric = rt.select(
+        "conv_id", "tool", "role", F.explode("roottx").alias("tx")
+    )
+    per_ident = per_metric.select(
+        "conv_id",
+        "tool",
+        "role",
+        F.col("tx.metric").alias("metric"),
+        F.explode("tx.transitions").alias("ident", "step"),
+    )
+    return per_ident.select(
+        "conv_id",
+        "tool",
+        "role",
+        "metric",
+        "ident",
+        F.posexplode("step.nextProbs").alias("next_state", "prob_pct"),
+        F.col("step.probability").alias("step_prob"),
+    ).select(
+        "conv_id",
+        "tool",
+        "role",
+        "metric",
+        "ident",
+        F.col("next_state").cast("int").alias("next_state"),
+        F.col("prob_pct").cast("int").alias("prob_pct"),
+        F.col("step_prob").cast("int").alias("step_prob"),
+    )
+
+
+# parity config: buffer_size=4, states=8, history=1, fixed bounds (0, 128)
+_PARITY_CTE = """
+transcripts AS (
+{ingest}
+),
+series AS (
+  SELECT conv_id, tool, role, turn_idx, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+bucketed AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, tool, role, metric ORDER BY ts, turn_idx) - 1 AS seq
+  FROM series
+),
+chunks AS (
+  SELECT conv_id, tool, role, metric,
+         CAST(FLOOR(seq / 4) AS BIGINT) AS bucket_idx,
+         COUNT(value) AS n, SUM(value) / COUNT(value) AS chunk_avg
+  FROM bucketed
+  GROUP BY conv_id, tool, role, metric, CAST(FLOOR(seq / 4) AS BIGINT)
+),
+states AS (
+  SELECT conv_id, tool, role, metric, bucket_idx,
+         {state_sql} AS state
+  FROM chunks WHERE n = 4
+),
+lag1 AS (
+  SELECT conv_id, tool, role, metric, bucket_idx,
+    CAST(COALESCE(LAG(state) OVER (
+      PARTITION BY conv_id, tool, role, metric ORDER BY bucket_idx), 0) AS STRING) AS ident,
+    state AS next_state
+  FROM states
+),
+c1 AS (
+  SELECT conv_id, tool, role, metric, ident, next_state, COUNT(*) AS cnt
+  FROM lag1 GROUP BY conv_id, tool, role, metric, ident, next_state
+),
+row_tot AS (
+  SELECT conv_id, tool, role, metric, ident, SUM(cnt) AS row_sum
+  FROM c1 GROUP BY conv_id, tool, role, metric, ident
+),
+tot AS (
+  SELECT conv_id, tool, role, metric, SUM(cnt) AS n_chunks
+  FROM c1 GROUP BY conv_id, tool, role, metric
+),
+txm AS (
+  SELECT g.conv_id, g.tool, g.role, g.metric, g.ident,
+    CAST(g.next_state AS INT) AS next_state,
+    CAST(FLOOR(100.0 * COALESCE(c.cnt, 0) / r.row_sum + 0.5) AS INT) AS prob_pct,
+    CAST(FLOOR(100.0 * r.row_sum / t.n_chunks + 0.5) AS INT) AS step_prob
+  FROM (
+    SELECT conv_id, tool, role, metric, ident, s.s AS next_state
+    FROM row_tot CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) s
+  ) g
+  LEFT JOIN c1 c ON c.conv_id = g.conv_id AND c.tool = g.tool AND c.role = g.role
+    AND c.metric = g.metric AND c.ident = g.ident AND c.next_state = g.next_state
+  JOIN row_tot r ON r.conv_id = g.conv_id AND r.tool = g.tool AND r.role = g.role
+    AND r.metric = g.metric AND r.ident = g.ident
+  JOIN tot t ON t.conv_id = g.conv_id AND t.tool = g.tool AND t.role = g.role
+    AND t.metric = g.metric
+)
+""".strip()
+
+
+def _parity_cte() -> str:
+    from tsprofiler_spark.functions import closest_state_sql
+    from tsprofiler_spark.sources.transcripts import TRANSCRIPTS_FROM_EVENTS_SQL
+
+    return _PARITY_CTE.format(
+        ingest=TRANSCRIPTS_FROM_EVENTS_SQL,
+        state_sql=closest_state_sql("chunk_avg", 8, 0.0, 128.0),
+    )
+
+
+_register(
+    "parity_roottx",
+    _q_parity_roottx,
+    f"""
+WITH {_parity_cte()}
+SELECT conv_id, tool, role, metric, ident, next_state, prob_pct, step_prob
+FROM txm
+""".strip(),
+)
 
 
 def _q_predictor_likeliness(spark, sf):
@@ -475,7 +735,51 @@ def _q_predictor_likeliness(spark, sf):
     return profiles.mapInPandas(run, schema)
 
 
-_register("predictor_likeliness", _q_predictor_likeliness)
+# The k-step likeliness recursion is deterministic integer-percent math
+# over the root TxMatrix (predictor/likeliness.go:9-56), and for the parity
+# config (history=1, fix_bound) that matrix is SQL-expressible (see
+# parity_roottx) — so the recursion unrolls into two rounded self-joins:
+#   L2(s, x) = SUM_ns>0 round(P(ns→x) · P(s→ns) / 100)
+#   L3(x)    = SUM_ns>0 round(L2(ns, x) · P(cur→ns) / 100)
+# with cur = the series' last chunk state (history doc) and a missing cur
+# ident yielding the all-zero distribution, exactly like the kernel.
+_register(
+    "predictor_likeliness",
+    _q_predictor_likeliness,
+    f"""
+WITH {_parity_cte()},
+cur AS (
+  SELECT conv_id, tool, role, metric,
+         CAST(arg_max(state, bucket_idx) AS STRING) AS ident
+  FROM states GROUP BY conv_id, tool, role, metric
+),
+l2 AS (
+  SELECT a.conv_id, a.tool, a.role, a.metric, a.ident AS s, b.next_state AS x,
+    SUM(CAST(FLOOR(b.prob_pct * a.prob_pct / 100.0 + 0.5) AS INT)) AS p
+  FROM txm a JOIN txm b
+    ON b.conv_id = a.conv_id AND b.tool = a.tool AND b.role = a.role
+   AND b.metric = a.metric AND b.ident = CAST(a.next_state AS STRING)
+  WHERE a.prob_pct > 0
+  GROUP BY a.conv_id, a.tool, a.role, a.metric, a.ident, b.next_state
+),
+l3 AS (
+  SELECT c.conv_id, c.tool, c.role, c.metric, l2.x,
+    SUM(CAST(FLOOR(l2.p * a.prob_pct / 100.0 + 0.5) AS INT)) AS p
+  FROM cur c
+  JOIN txm a ON a.conv_id = c.conv_id AND a.tool = c.tool AND a.role = c.role
+    AND a.metric = c.metric AND a.ident = c.ident
+  JOIN l2 ON l2.conv_id = c.conv_id AND l2.tool = c.tool AND l2.role = c.role
+    AND l2.metric = c.metric AND l2.s = CAST(a.next_state AS STRING)
+  WHERE a.prob_pct > 0
+  GROUP BY c.conv_id, c.tool, c.role, c.metric, l2.x
+)
+SELECT t.conv_id, t.tool, t.role, t.metric, CAST(st.s AS INT) AS state,
+  CAST(COALESCE(l3.p, 0) AS INT) AS prob_pct
+FROM tot t CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) st
+LEFT JOIN l3 ON l3.conv_id = t.conv_id AND l3.tool = t.tool AND l3.role = t.role
+  AND l3.metric = t.metric AND l3.x = st.s
+""".strip(),
+)
 
 
 def _q_predictor_simulate(spark, sf):
