@@ -72,7 +72,7 @@ def generate_input(path: str, convs: int, turns: int) -> int:
     return n
 
 
-def run_at(zpath: str, inp: str, out: str, cores: int, mode: str) -> dict:
+def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = False) -> dict:
     """One spark-submit of the pipeline.
 
     mode 'local-cluster': cores/8 REAL executor JVMs x 8 cores each — the
@@ -99,7 +99,7 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str) -> dict:
         "--conf", f"spark.local.dir={local_dir}",
         "--py-files", zpath,
         os.path.join(REPO, "tools", "run_pipeline.py"),
-        "--input", inp, "--output", out, "--cores", str(cores),
+        "--cores", str(cores),
         # partition count is a property of the DATA, not the cluster size:
         # both sizes get identical partitioning (equal per-task memory, so
         # the small cluster just runs more waves — exactly how a fixed
@@ -109,6 +109,10 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str) -> dict:
         # rows and blow up scan-stage partial aggregation in one task
         "--max-partition-bytes", "8m",
     ]
+    if probe:
+        cmd.append("--probe")
+    else:
+        cmd += ["--input", inp, "--output", out]
     t0 = time.perf_counter()
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     wall = time.perf_counter() - t0
@@ -155,9 +159,36 @@ def main() -> None:
                     default="local-cluster",
                     help="local-cluster: N vs 4N real executor JVMs (8 cores "
                     "each); local: single-JVM thread scaling")
+    ap.add_argument("--probe", action="store_true",
+                    help="run the compute-bound + shuffle-bound probes "
+                    "instead of the pipeline; writes BENCH/probe.json")
     args = ap.parse_args()
 
     zpath = build_zip()
+
+    if args.probe:
+        results = {}
+        for cores in (args.small, args.large):
+            print(f"[scaling] probe at {cores} cores ...", file=sys.stderr)
+            results[cores] = run_at(zpath, "", "", cores, args.mode, probe=True)
+            print(f"[scaling] {cores}: {results[cores]['stages']}", file=sys.stderr)
+        factor = args.large / args.small
+        eff = {
+            st: round(
+                results[args.small]["stages"][st]
+                / (factor * results[args.large]["stages"][st]), 3)
+            for st in results[args.small]["stages"]
+        }
+        report = {
+            "mode": args.mode, "probe": True,
+            "small_cores": args.small, "large_cores": args.large,
+            "runs": results, "probe_efficiency": eff,
+        }
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "probe.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report))
+        return
     # Work dir on tmpfs when available: on a real cluster, input/output
     # bandwidth comes from distributed storage and scales with executor
     # count; this sandbox has ONE virtio disk (and a host that aggressively

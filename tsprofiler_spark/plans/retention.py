@@ -84,22 +84,19 @@ def merge_transcript_batch(
     if affected is None:
         affected = transcripts.agg(touched_days()).collect()[0][0]
     series = derive_series(transcripts)
-    lineage: list[dict] = []
-    pointers: dict[str, dict[str, str]] = {}
-    # persisted because 1m partials are both written (1m MERGE) and re-read
-    # by the 1h/1d cascades; the 1m merge write materializes the cache
+    # The 1m partials are consumed by three union branches of the single
+    # staging write (1m itself, the 1h cascade, and transitively 1d), so
+    # they are persisted and pinned EAGERLY — a lazily-filled cache would
+    # let the branches race and each recompute the raw scan + groupBy.
     finest = _tier_partials(series, "1m").persist()
-    tier_lineage, tier_ptrs = store.merge_tier(finest, "1m", run_id, affected=affected)
-    lineage += tier_lineage
-    pointers["1m"] = tier_ptrs
-    coarser_src = finest
-    for tier in ("1h", "1d"):
-        partials = _cascade_partials(coarser_src, tier)
-        tier_lineage, tier_ptrs = store.merge_tier(
-            partials, tier, run_id, affected=affected
-        )
-        lineage += tier_lineage
-        pointers[tier] = tier_ptrs
+    finest.count()
+    coarse_1h = _cascade_partials(finest, "1h")
+    # 1d cascades from the 1h partials (not from 1m): sums/min/max compose,
+    # and the 1h->1d re-aggregation reads 60x fewer rows
+    coarse_1d = _cascade_partials(coarse_1h, "1d")
+    lineage, pointers = store.merge_tiers(
+        {"1m": finest, "1h": coarse_1h, "1d": coarse_1d}, run_id, affected=affected
+    )
     finest.unpersist()
     store.commit_run(run_id, watermark, lineage, pointers)
     return lineage

@@ -134,6 +134,127 @@ class RollupStore:
             "day", F.date_format(F.col("day"), "yyyy-MM-dd")
         )
 
+    def _merged_tier_plan(
+        self, new_partials: DataFrame, tier: str, affected: list[str]
+    ) -> DataFrame:
+        """MERGE plan for one tier against its committed snapshot.
+
+        Associative combine: n/s1/s2 sum, vmin min, vmax max — so
+        late/duplicate windows fold exactly, and re-staging the same input
+        (replay with the same run_id) overwrites the same version dirs
+        byte-identically.
+        """
+        new_partials = new_partials.withColumn(
+            "day", F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
+        )
+        existing = self.read_tier(tier)
+        combined = new_partials.select(*TIER_KEY, *PARTIALS, "day")
+        if existing is None:
+            # bootstrap load: partials come out of a groupBy on exactly
+            # (TIER_KEY, bucket day) — already one row per key, so the merge
+            # re-aggregation would be an identity shuffle of the full tier;
+            # skip it.
+            return combined
+        old = existing.where(F.col("day").isin(affected)).select(
+            *TIER_KEY, *PARTIALS, "day"
+        )
+        return combined.unionByName(old).groupBy(*TIER_KEY, "day").agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+
+    def merge_tiers(
+        self,
+        partials_by_tier: dict[str, DataFrame],
+        run_id: str,
+        affected: list[str] | None = None,
+    ) -> tuple[list[dict], dict[str, dict[str, str]]]:
+        """Stage the MERGE of EVERY tier's partials as new day versions in
+        ONE write job (NOT yet visible — the caller publishes atomically via
+        `commit_run`).
+
+        All tiers union into a single (tier, day)-partitioned write instead
+        of one write job per tier: at cluster scale this is one shuffle +
+        one commit pipeline instead of three job barriers, and in the
+        scaling harness it removes two rounds of driver round-trips per
+        batch. Write-then-swap: the job lands in a staging dir, then one
+        rename per (tier, day) into the versioned location (the sandbox
+        analogue of an Iceberg multi-table snapshot commit).
+
+        ``affected`` (the touched yyyy-MM-dd day partitions) can be passed
+        in when the caller already knows it — the set is identical for
+        every tier of one batch (day truncation of the same bucket range).
+
+        Returns (lineage, pointers) with pointers = {tier: {day: run_id}}.
+        """
+        if affected is None:
+            days = None
+            for df in partials_by_tier.values():
+                d = df.select(
+                    F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd").alias("day")
+                ).distinct()
+                days = d if days is None else days.union(d)
+            affected = [r.day for r in days.distinct().collect()]
+        plans = [
+            self._merged_tier_plan(df, tier, affected).withColumn("tier", F.lit(tier))
+            for tier, df in partials_by_tier.items()
+        ]
+        merged = plans[0]
+        for p in plans[1:]:
+            merged = merged.unionByName(p)
+        staged = merged.persist()
+        per_key = {
+            (r.tier, r.day): r.rows
+            for r in staged.groupBy("tier", "day")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        }
+        # a staged day outside `affected` means its existing rows were never
+        # unioned in — committing would silently drop them. The invariant
+        # (ts-derived touched_days covers every tier-bucket day) is cheap to
+        # enforce here because per_key is collected anyway.
+        missing = sorted({d for (_, d) in per_key} - set(affected))
+        if missing:
+            staged.unpersist()
+            raise ValueError(
+                f"merge_tiers: staged days {missing} not covered by "
+                f"affected={sorted(affected)} — existing data would be lost"
+            )
+        # Repartition by (tier, day, conv_id-hash) — NOT by partition dirs
+        # alone: one shuffle partition per (tier, day) would serialize the
+        # write to #dirs tasks and leave one giant file per partition,
+        # strangling downstream scan parallelism. Multiple files per dir is
+        # fine (and matches how an Iceberg MERGE distributes its writes).
+        staging = os.path.join(self.base, f"_staging-{run_id}")
+        n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        staged.repartition(n_out, "tier", "day", "conv_id").write.partitionBy(
+            "tier", "day"
+        ).mode("overwrite").parquet(staging)
+        staged.unpersist()
+        pointers: dict[str, dict[str, str]] = {}
+        lineage = []
+        for tier, day in sorted(per_key):
+            src = os.path.join(staging, f"tier={tier}", f"day={day}")
+            dst = self._day_dir(tier, day, run_id)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # replayed run_id: idempotent overwrite
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            pointers.setdefault(tier, {})[day] = run_id
+            size = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(dst)
+                for f in fs
+            )
+            lineage.append(
+                {"tier": tier, "day": day, "rows": per_key[(tier, day)], "bytes": size}
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        return lineage, pointers
+
     def merge_tier(
         self,
         new_partials: DataFrame,
@@ -141,95 +262,9 @@ class RollupStore:
         run_id: str,
         affected: list[str] | None = None,
     ) -> tuple[list[dict], dict[str, str]]:
-        """Stage the MERGE of tier partials as new day versions (NOT yet
-        visible — the caller commits all tiers at once via `commit_run`).
-
-        Associative combine against the committed snapshot: n/s1/s2 sum,
-        vmin min, vmax max — so late/duplicate windows fold exactly, and
-        re-staging the same input (replay with the same run_id) overwrites
-        the same version dirs byte-identically.
-
-        ``affected`` (the touched yyyy-MM-dd day partitions) can be passed in
-        when the caller already knows it — the set is identical for every
-        tier of one batch (day truncation of the same bucket range), so the
-        incremental job computes it once instead of one collect per tier.
-
-        Returns (lineage, pointers) where pointers = {day: run_id} for every
-        staged day.
-        """
-        new_partials = new_partials.withColumn(
-            "day", F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
-        )
-        if affected is None:
-            affected = [r.day for r in new_partials.select("day").distinct().collect()]
-        existing = self.read_tier(tier)
-        combined = new_partials.select(*TIER_KEY, *PARTIALS, "day")
-        if existing is not None:
-            old = existing.where(F.col("day").isin(affected)).select(
-                *TIER_KEY, *PARTIALS, "day"
-            )
-            merged = combined.unionByName(old).groupBy(*TIER_KEY, "day").agg(
-                F.sum("n").alias("n"),
-                F.sum("s1").alias("s1"),
-                F.sum("s2").alias("s2"),
-                F.min("vmin").alias("vmin"),
-                F.max("vmax").alias("vmax"),
-            )
-        else:
-            # bootstrap load: partials come out of a groupBy on exactly
-            # (TIER_KEY, bucket day) — already one row per key, so the merge
-            # re-aggregation would be an identity shuffle of the full tier;
-            # skip it.
-            merged = combined
-        staged = merged.persist()
-        per_day = {
-            r.day: r.rows
-            for r in staged.groupBy("day").agg(F.count(F.lit(1)).alias("rows")).collect()
-        }
-        # a staged day outside `affected` means its existing rows were never
-        # unioned in — committing would silently drop them. The invariant
-        # (ts-derived touched_days covers every tier-bucket day) is cheap to
-        # enforce here because per_day is collected anyway.
-        missing = sorted(set(per_day) - set(affected))
-        if missing:
-            staged.unpersist()
-            raise ValueError(
-                f"merge_tier({tier}): staged days {missing} not covered by "
-                f"affected={sorted(affected)} — existing data would be lost"
-            )
-        # write-then-swap: ONE write job into a staging dir, then a rename
-        # per day into its versioned location (Iceberg: MERGE INTO + commit)
-        staging = os.path.join(self._tier_path(tier), f"_staging-{run_id}")
-        # Repartition by (day, conv_id-hash) — NOT by day alone: one shuffle
-        # partition per day would serialize the write to #days tasks and leave
-        # one giant file per day partition, strangling downstream scan
-        # parallelism. Multiple files per day-dir is fine (and matches how an
-        # Iceberg MERGE distributes its writes on a real cluster).
-        n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        staged.repartition(n_out, "day", "conv_id").write.partitionBy("day").mode(
-            "overwrite"
-        ).parquet(staging)
-        staged.unpersist()
-        pointers: dict[str, str] = {}
-        lineage = []
-        for day in sorted(per_day):
-            src = os.path.join(staging, f"day={day}")
-            dst = self._day_dir(tier, day, run_id)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)  # replayed run_id: idempotent overwrite
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
-            pointers[day] = run_id
-            size = sum(
-                os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(dst)
-                for f in fs
-            )
-            lineage.append(
-                {"tier": tier, "day": day, "rows": per_day.get(day, 0), "bytes": size}
-            )
-        shutil.rmtree(staging, ignore_errors=True)
-        return lineage, pointers
+        """Single-tier convenience wrapper over `merge_tiers`."""
+        lineage, pointers = self.merge_tiers({tier: new_partials}, run_id, affected)
+        return lineage, pointers.get(tier, {})
 
     def commit_run(
         self,
