@@ -127,6 +127,20 @@ def main() -> None:
 
     counters["events_family_rows"] = timed("events_family", events_family)
 
+    # 7. the LLM-training-data family on the documents/embeddings tables
+    from tsprofiler_spark.plans.entry_queries_pipeline import PIPELINE_QUERIES
+
+    def docs_family():
+        total = 0
+        for name in (
+            "dedup_exact", "dedup_minhash_candidates", "dedup_components",
+            "dedup_simhash", "text_quality", "sim_ann_topk",
+        ):
+            total += PIPELINE_QUERIES[name](spark, SF_DIR).count()
+        return total
+
+    counters["docs_family_rows"] = timed("docs_family", docs_family)
+
     synth.unpersist()
     shutil.rmtree(tmp, ignore_errors=True)
 

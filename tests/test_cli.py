@@ -82,3 +82,29 @@ def test_tspredictor_on_reference_fixture():
     assert len(sim) == 11
     for line in sim[1:]:
         assert all(0 <= int(s) < 10 for s in line.split(","))
+
+
+def test_plot_roottx_on_reference_fixture(tmp_path):
+    """A32: heatmap plot of the root tx matrices (tools/plotRootTx:31-43) —
+    stdlib-PNG fallback; validated against the real example-159 profile."""
+    if not os.path.isdir(FIXTURE):
+        import pytest
+
+        pytest.skip("reference fixture not present")
+    import struct
+
+    mod = _load("plot_roottx")
+    with open(f"{FIXTURE}/out.profile.json") as f:
+        profile = json.load(f)
+    written = mod.plot(profile, str(tmp_path), cell=8)
+    assert sorted(os.path.basename(p) for p in written) == [
+        "txplot-metric_0.png", "txplot-metric_1.png", "txplot-metric_2.png",
+    ]
+    for p in written:
+        d = open(p, "rb").read()
+        assert d[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h = struct.unpack(">II", d[16:24])
+        assert (w, h) == (80, 80)  # 10 states x 8 px
+    # matrix extraction quirk: missing from-state idents -> all-zero row
+    rows = mod.tx_matrix({"1": {"nextProbs": [5, 95]}}, 2)
+    assert rows == [[0, 0], [5, 95]]

@@ -139,3 +139,28 @@ def test_multimodal_plumbing(docs):
     frames = sample_frames(attach_payload(docs.limit(5), "video")).collect()
     assert all(len(r.frame_bytes) <= 64 for r in frames)
     assert {r.doc_id for r in frames} == {r.doc_id for r in docs.limit(5).collect()}
+
+
+def test_dedup_components_resolves_chains(spark, docs):
+    """Min-label propagation must follow multi-hop chains (A-B, B-C, C-D all
+    collapse to min(A)), leave singletons as their own keepers, and resolve
+    the planted exact+near dup clusters in the documents corpus."""
+    from tsprofiler_spark.operators.dedup import dedup_components, minhash_candidates
+
+    nodes = spark.range(100).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (50, 60)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.keeper_id, r.is_keeper) for r in dedup_components(nodes, pairs).collect()}
+    assert out[10] == (10, 1) and out[20] == (10, 0)
+    assert out[30] == (10, 0) and out[40] == (10, 0)  # 3 hops from 10
+    assert out[50] == (50, 1) and out[60] == (50, 0)
+    assert out[7] == (7, 1)  # singleton
+    assert len(out) == 100
+
+    # on the corpus: every planted exact dup resolves to its original
+    corpus = dedup_components(docs, minhash_candidates(docs, k=12))
+    res = {r.doc_id: r.keeper_id for r in corpus.collect()}
+    base_ids = [r.doc_id for r in docs.where(F.col("doc_id") < 100000).limit(5).collect()]
+    covered = sum(1 for b in base_ids if res.get(b + 100000) == res.get(b))
+    assert covered >= 4

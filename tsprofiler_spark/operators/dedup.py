@@ -208,6 +208,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_components(
+    documents: DataFrame,
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected-components keeper resolution over near-dup candidate pairs.
+
+    The step after LSH in a real dedup pipeline: candidate pairs (doc_a,
+    doc_b) form an undirected graph; every document in a component keeps
+    the component's min doc_id as its canonical ``keeper_id`` (singletons
+    keep themselves). Emits (doc_id, keeper_id, is_keeper).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow: diameter is
+    typically 2-4, never the corpus). Each round is one co-partitioned
+    join + one groupBy on doc_id; the edge table is the small LSH-candidate
+    output, not the corpus, so rounds are cheap and the corpus itself is
+    touched once at the end. The driver-side loop is control plane only
+    (a one-row convergence aggregate per round); at 10^9+ docs swap the
+    propagation for the alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce"), which bounds
+    rounds at O(log n) under heavy skew — same output contract.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    edges.persist()
+    labels = documents.select("doc_id", F.col("doc_id").alias("comp"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(edges.dst.alias("doc_id"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        new_labels.persist()
+        # full count (no limit-short-circuit) so this action also fills the
+        # new_labels cache completely before the old generation is dropped
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("keeper_id"),
+        (F.col("comp") == F.col("doc_id")).cast("int").alias("is_keeper"),
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.98,

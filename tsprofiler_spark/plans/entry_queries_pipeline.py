@@ -114,6 +114,55 @@ FROM bands a JOIN bands b
 """.strip(),
 )
 
+# --- dedup_components: connected-components keeper resolution ---------------------
+# The post-LSH step of a real dedup pipeline: group candidate pairs into
+# components, keep min doc_id per component. Spark runs iterative min-label
+# propagation (O(diameter) co-partitioned joins); the oracle is the same
+# fixpoint as a DuckDB recursive CTE.
+
+
+def _q_dedup_components(spark, sf):
+    from tsprofiler_spark.operators.dedup import dedup_components
+
+    docs = _docs(spark, sf)
+    return dedup_components(docs, minhash_candidates(docs, k=12, rows_per_band=3))
+
+
+_register(
+    "dedup_components",
+    _q_dedup_components,
+    f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+hs AS (
+  SELECT doc_id, j, {_H_SHINGLE} AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
+),
+sigs AS (SELECT doc_id, j, MIN(h) AS minhash FROM hs GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(j / 3) AS INT) AS band_id,
+         string_agg(CAST(minhash AS STRING), '-' ORDER BY j) AS band_hash
+  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / 3) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION SELECT doc_b, doc_a FROM cand
+),
+cc AS (
+  SELECT doc_id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.dst AS doc_id, cc.comp FROM cc JOIN edges e ON e.src = cc.doc_id
+)
+SELECT doc_id, MIN(comp) AS keeper_id,
+       CAST(MIN(comp) = doc_id AS INT) AS is_keeper
+FROM cc GROUP BY doc_id
+""".strip(),
+)
+
 # --- simhash ---------------------------------------------------------------------
 
 _H_TOKEN = h32_sql_duckdb("token")

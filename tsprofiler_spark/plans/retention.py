@@ -84,20 +84,33 @@ def merge_transcript_batch(
     if affected is None:
         affected = transcripts.agg(touched_days()).collect()[0][0]
     series = derive_series(transcripts)
-    # The 1m partials are consumed by three union branches of the single
-    # staging write (1m itself, the 1h cascade, and transitively 1d), so
-    # they are persisted and pinned EAGERLY — a lazily-filled cache would
-    # let the branches race and each recompute the raw scan + groupBy.
-    finest = _tier_partials(series, "1m").persist()
-    finest.count()
-    coarse_1h = _cascade_partials(finest, "1h")
+    # Two-step staging, ZERO large executor-memory caches: the finest (1m)
+    # partials go raw-scan -> groupBy -> staged parquet in one write job,
+    # then the 1h/1d cascades read that STAGED PARQUET back (columnar,
+    # compressed — storage is the materialization, exactly what cascading
+    # from a real Iceberg 1m table does). Caching 40M+ deserialized partial
+    # rows in the executor heap instead measurably throttles the N-executor
+    # configuration (spill + GC) without saving any scan of the raw data.
+    finest = _tier_partials(series, "1m")
+    lineage, pointers = store.merge_tiers({"1m": finest}, run_id, affected=affected)
+    staged_1m = store.read_versions("1m", pointers["1m"])
     # 1d cascades from the 1h partials (not from 1m): sums/min/max compose,
-    # and the 1h->1d re-aggregation reads 60x fewer rows
+    # and the 1h->1d re-aggregation reads 60x fewer rows. The 1h partials
+    # table is tiny (one row per series-hour), so IT is worth a pinned
+    # cache to keep the 1d branch from re-reading the 1m files.
+    coarse_1h = _cascade_partials(staged_1m, "1h").persist()
+    coarse_1h.count()  # pin eagerly: both union branches below consume it
     coarse_1d = _cascade_partials(coarse_1h, "1d")
-    lineage, pointers = store.merge_tiers(
-        {"1m": finest, "1h": coarse_1h, "1d": coarse_1d}, run_id, affected=affected
+    # replace=True: staged_1m already holds each affected day's COMPLETE
+    # merged 1m content, so the cascaded 1h/1d partials are full day
+    # replacements — no union with the existing 1h/1d needed (and unioning
+    # would double-count exactly the previously merged data)
+    tier_lineage, tier_ptrs = store.merge_tiers(
+        {"1h": coarse_1h, "1d": coarse_1d}, run_id, affected=affected, replace=True
     )
-    finest.unpersist()
+    lineage += tier_lineage
+    pointers.update(tier_ptrs)
+    coarse_1h.unpersist()
     store.commit_run(run_id, watermark, lineage, pointers)
     return lineage
 

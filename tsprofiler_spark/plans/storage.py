@@ -122,11 +122,8 @@ class RollupStore:
     def _day_dir(self, tier: str, day: str, version: str) -> str:
         return os.path.join(self._tier_path(tier), f"day={day}", f"v={version}")
 
-    def read_tier(self, tier: str) -> DataFrame | None:
-        """Committed snapshot of a tier (only manifest-pointed versions)."""
-        pointers = self.manifest.tiers.get(tier)
-        if not pointers:
-            return None
+    def read_versions(self, tier: str, pointers: dict[str, str]) -> DataFrame:
+        """Read a specific {day: version} set of a tier (committed or staged)."""
         paths = [self._day_dir(tier, day, ver) for day, ver in sorted(pointers.items())]
         df = self.spark.read.option("basePath", self._tier_path(tier)).parquet(*paths)
         # partition inference types day= as DATE; keep the string contract
@@ -134,8 +131,19 @@ class RollupStore:
             "day", F.date_format(F.col("day"), "yyyy-MM-dd")
         )
 
+    def read_tier(self, tier: str) -> DataFrame | None:
+        """Committed snapshot of a tier (only manifest-pointed versions)."""
+        pointers = self.manifest.tiers.get(tier)
+        if not pointers:
+            return None
+        return self.read_versions(tier, pointers)
+
     def _merged_tier_plan(
-        self, new_partials: DataFrame, tier: str, affected: list[str]
+        self,
+        new_partials: DataFrame,
+        tier: str,
+        affected: list[str],
+        replace: bool = False,
     ) -> DataFrame:
         """MERGE plan for one tier against its committed snapshot.
 
@@ -143,11 +151,16 @@ class RollupStore:
         late/duplicate windows fold exactly, and re-staging the same input
         (replay with the same run_id) overwrites the same version dirs
         byte-identically.
+
+        ``replace``: the partials are already the COMPLETE content of every
+        affected day (e.g. cascaded from a tier whose affected-day versions
+        were just merged) — skip the existing-union entirely; the staged
+        day version simply supersedes the old one.
         """
         new_partials = new_partials.withColumn(
             "day", F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
         )
-        existing = self.read_tier(tier)
+        existing = None if replace else self.read_tier(tier)
         combined = new_partials.select(*TIER_KEY, *PARTIALS, "day")
         if existing is None:
             # bootstrap load: partials come out of a groupBy on exactly
@@ -171,6 +184,7 @@ class RollupStore:
         partials_by_tier: dict[str, DataFrame],
         run_id: str,
         affected: list[str] | None = None,
+        replace: bool = False,
     ) -> tuple[list[dict], dict[str, dict[str, str]]]:
         """Stage the MERGE of EVERY tier's partials as new day versions in
         ONE write job (NOT yet visible — the caller publishes atomically via
@@ -199,16 +213,35 @@ class RollupStore:
                 days = d if days is None else days.union(d)
             affected = [r.day for r in days.distinct().collect()]
         plans = [
-            self._merged_tier_plan(df, tier, affected).withColumn("tier", F.lit(tier))
+            self._merged_tier_plan(df, tier, affected, replace=replace).withColumn(
+                "tier", F.lit(tier)
+            )
             for tier, df in partials_by_tier.items()
         ]
         merged = plans[0]
         for p in plans[1:]:
             merged = merged.unionByName(p)
-        staged = merged.persist()
+        # ONE write job, NO executor-memory cache of the merged data: the
+        # staged parquet itself is the materialization (columnar, compressed
+        # — a fraction of a deserialized JVM cache, and what an Iceberg
+        # MERGE produces anyway). Row counts for lineage/validation come
+        # from a cheap metadata-ish count over the staged files afterwards.
+        # Repartition by (tier, day, conv_id-hash) — NOT by partition dirs
+        # alone: one shuffle partition per (tier, day) would serialize the
+        # write to #dirs tasks and leave one giant file per partition,
+        # strangling downstream scan parallelism. Multiple files per dir is
+        # fine (and matches how an Iceberg MERGE distributes its writes).
+        staging = os.path.join(self.base, f"_staging-{run_id}")
+        n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        merged.repartition(n_out, "tier", "day", "conv_id").write.partitionBy(
+            "tier", "day"
+        ).mode("overwrite").parquet(staging)
+        back = self.spark.read.parquet(staging)
         per_key = {
             (r.tier, r.day): r.rows
-            for r in staged.groupBy("tier", "day")
+            for r in back.groupBy(
+                "tier", F.date_format("day", "yyyy-MM-dd").alias("day")
+            )
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         }
@@ -218,22 +251,11 @@ class RollupStore:
         # enforce here because per_key is collected anyway.
         missing = sorted({d for (_, d) in per_key} - set(affected))
         if missing:
-            staged.unpersist()
+            shutil.rmtree(staging, ignore_errors=True)
             raise ValueError(
                 f"merge_tiers: staged days {missing} not covered by "
                 f"affected={sorted(affected)} — existing data would be lost"
             )
-        # Repartition by (tier, day, conv_id-hash) — NOT by partition dirs
-        # alone: one shuffle partition per (tier, day) would serialize the
-        # write to #dirs tasks and leave one giant file per partition,
-        # strangling downstream scan parallelism. Multiple files per dir is
-        # fine (and matches how an Iceberg MERGE distributes its writes).
-        staging = os.path.join(self.base, f"_staging-{run_id}")
-        n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        staged.repartition(n_out, "tier", "day", "conv_id").write.partitionBy(
-            "tier", "day"
-        ).mode("overwrite").parquet(staging)
-        staged.unpersist()
         pointers: dict[str, dict[str, str]] = {}
         lineage = []
         for tier, day in sorted(per_key):
