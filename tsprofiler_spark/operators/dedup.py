@@ -45,8 +45,20 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
+def _spread(documents: DataFrame) -> DataFrame:
+    """Repartition the (small, compressed) document table across the
+    cluster BEFORE a fan-out/hash-heavy projection. Spark sizes scan splits
+    by input bytes, so a few-MB parquet of long texts becomes ONE task —
+    and the 100-5000x shingle/token explode with per-row hashing then runs
+    single-threaded. One cheap round-robin shuffle of the narrow input
+    fixes the parallelism at any scale (at 100 TB the scan is already
+    many-split and this is a near-no-op repartition to the same width)."""
+    spark = documents.sparkSession
+    return documents.repartition(spark.sparkContext.defaultParallelism)
+
+
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    return documents.select(
+    return _spread(documents).select(
         "doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle")
     )
 
@@ -120,7 +132,7 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     A token list for one document is bounded by document size (collect_list
     is per-doc, not per-corpus), so executor memory is safe at scale.
     """
-    tokens = documents.select(
+    tokens = _spread(documents).select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).where(F.col("token") != "")
     hashed = tokens.select("doc_id", h32(F.col("token")).alias("h"))

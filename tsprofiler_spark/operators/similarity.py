@@ -22,6 +22,16 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _spread(embeddings: DataFrame) -> DataFrame:
+    """Repartition the (small-on-disk) embedding table across the cluster
+    before per-vector arithmetic: Spark sizes scan splits by file bytes, so
+    a compact parquet becomes one task and the O(dim·planes) per-row math
+    runs single-threaded. Cheap round-robin shuffle of the narrow input; a
+    near-no-op at real table sizes where the scan is already many-split."""
+    spark = embeddings.sparkSession
+    return embeddings.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -46,7 +56,7 @@ def brute_force_topk(
     The query side is tiny -> broadcast join; corpus side streams once.
     Ties break on neighbor id for determinism.
     """
-    base = embeddings.select(
+    base = _spread(embeddings).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     queries = base.where(F.col("vec_id") % query_mod == 0).select(
@@ -81,7 +91,7 @@ def _plane_weight(plane: int, dim: int):
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 12, dim: int = 64) -> DataFrame:
     """Random-hyperplane signature as a bucket integer per vector."""
-    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    base = _spread(embeddings).select("vec_id", _as_double(F.col("embedding")).alias("emb"))
     bucket = None
     for p in range(n_planes):
         dot = F.aggregate(
@@ -114,7 +124,7 @@ def ann_topk(
     (1 + n_planes) per query at multiprobe=1 versus n·q for brute force.
     """
     buckets = lsh_buckets(embeddings, n_planes, dim)
-    base = embeddings.select(
+    base = _spread(embeddings).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     ).join(buckets, "vec_id")
     probe_buckets = F.array(
@@ -230,7 +240,7 @@ def ivf_topk(
     pre-trained codebook, ...); default None learns seeded KMeans centroids
     via `ivf_index`.
     """
-    base = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("emb"))
+    base = _spread(embeddings).select("vec_id", _as_double(F.col(vec_col)).alias("emb"))
     if centroids is None:
         assigned, centroids = ivf_index(embeddings, n_centroids, seed, vec_col)
     else:
