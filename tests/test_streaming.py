@@ -100,3 +100,80 @@ def test_microbatch_replay_does_not_double_count(spark, transcripts, tmp_path):
     process_microbatch(more, 1, store)
     assert len(store.manifest.runs) == 2
     assert _tier_rows(store, "1m") != before["1m"]
+
+
+def test_stateful_chunk_stream_equals_batch(spark, transcripts, tmp_path):
+    """applyInPandasWithState chunking: partial chunk buffers must carry
+    across micro-batches (maxFilesPerTrigger=1 forces the seam) and the
+    emitted chunk states must equal the batch pipeline's chunk_states on
+    the same data, incomplete trailing chunks pending in state."""
+    from tsprofiler_spark.operators.ingest import derive_series
+    from tsprofiler_spark.operators.profile import bucketize, chunk_stats, with_state
+    from tsprofiler_spark.streaming.profile_stream import (
+        CHUNK_OUTPUT_SCHEMA,
+        stream_chunk_states,
+    )
+
+    settings = Settings(
+        buffer_size=7,  # coprime with the 150-turn split: chunks straddle drops
+        states=6, fix_bound=True, fixed_min=0.0, fixed_max=128.0,
+    )
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    transcripts.where("turn_idx < 150").coalesce(1).write.parquet(inbox + "/drop1")
+    transcripts.where("turn_idx >= 150").coalesce(1).write.parquet(inbox + "/drop2")
+
+    from tsprofiler_spark.streaming.ingest import TRANSCRIPTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox + "/*")
+    )
+    chunks_stream = stream_chunk_states(derive_series(stream), settings)
+    q = (
+        chunks_stream.writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM chunk_stream")
+    expected = with_state(
+        chunk_stats(bucketize(derive_series(transcripts), settings.buffer_size), settings),
+        settings,
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r.conv_id, r.tool, r.role, r.metric, r.bucket_idx,
+                str(r.bucket_start), r.n, round(r.s1, 6), round(r.chunk_avg, 9),
+                round(r.current_avg, 9), round(r.stddev_sum, 6), int(r.state),
+            )
+            for r in df.collect()
+        )
+
+    exp_rows = canon(
+        expected.select(
+            "conv_id", "tool", "role", "metric", "bucket_idx", "bucket_start",
+            "n", "s1", "chunk_avg", "current_avg", "stddev_sum", "state",
+        )
+    )
+    got_rows = canon(got)
+    assert len(got_rows) > 0
+    assert got_rows == exp_rows
+    # prove the seam mattered: some series' drop1 row count is not a chunk
+    # multiple, so a chunk straddled the two micro-batches and its buffer
+    # HAD to carry through state for the totals above to match the batch
+    drop1_counts = (
+        derive_series(transcripts.where("turn_idx < 150"))
+        .groupBy("conv_id", "tool", "role", "metric")
+        .count()
+        .collect()
+    )
+    assert any(r["count"] % settings.buffer_size != 0 for r in drop1_counts)
+    assert q.lastProgress is not None  # the stream actually ran batches

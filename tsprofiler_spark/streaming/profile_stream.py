@@ -1,0 +1,159 @@
+"""Stateful streaming chunking: the reference's Put-driven buffer→chunk
+loop (profiler/buffer/buffer.go:39-83, chunk close profiler/profiler.go:
+107-131) as a Structured Streaming operator.
+
+`stream_chunk_states` turns an unbounded stream of per-turn observations
+into the SAME chunk-state rows the batch pipeline produces
+(operators/profile.py bucketize + chunk_stats + with_state), using
+``applyInPandasWithState``: per (series, metric) group the state carries
+the partial chunk buffer (values not yet filling a chunk), the running
+sequence offset, and the cumulative sums that define the reference's
+``current_avg`` cross-term — O(buffer_size) state per series, regardless
+of stream length (the reference's own O(1)-memory property).
+
+Preconditions (documented, matching the reference's strictly-in-order
+channel): within one series, rows arrive in (ts, turn_idx) order across
+micro-batches — batches are sorted internally, but a turn older than an
+already-closed chunk cannot be re-opened (append-only transcript streams
+satisfy this; late-data *tier* corrections are the retention MERGE's job,
+streaming/ingest.py).
+
+At cluster scale: state is hash-partitioned by the series key across
+executors and checkpointed by the state store; each micro-batch touches
+only the groups present in the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tsprofiler_spark.config import Settings
+from tsprofiler_spark.operators.ingest import SERIES_COLS
+
+CHUNK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("tool", StringType()),
+        StructField("role", StringType()),
+        StructField("metric", StringType()),
+        StructField("bucket_idx", LongType()),
+        StructField("bucket_start", TimestampType()),
+        StructField("n", LongType()),
+        StructField("s1", DoubleType()),
+        StructField("chunk_avg", DoubleType()),
+        StructField("current_avg", DoubleType()),
+        StructField("stddev_sum", DoubleType()),
+        StructField("state", IntegerType()),
+    ]
+)
+
+# carried across micro-batches per (series, metric)
+STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),          # rows consumed so far
+        StructField("cum_n", LongType()),        # rows in CLOSED chunks
+        StructField("cum_s1", DoubleType()),     # sum of values in closed chunks
+        StructField("pend_values", ArrayType(DoubleType())),
+        StructField("pend_ts", ArrayType(TimestampType())),
+    ]
+)
+
+
+def _make_chunk_fn(settings: Settings):
+    buffer_size = settings.buffer_size
+    states = settings.states
+    fixed_min = settings.fixed_min
+    fixed_max = settings.fixed_max
+    assert settings.fix_bound, "streaming chunking requires fixed bounds"
+
+    def chunk_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tsprofiler_spark.kernel.discretize import closest_discretize
+
+        if state.exists:
+            seq, cum_n, cum_s1, pend_values, pend_ts = state.get
+            values = list(pend_values)
+            tss = list(pend_ts)
+        else:
+            seq, cum_n, cum_s1 = 0, 0, 0.0
+            values, tss = [], []
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "turn_idx"], kind="mergesort")
+        values.extend(float(v) for v in rows["value"])
+        tss.extend(rows["ts"])
+
+        out = []
+        while len(values) >= buffer_size:
+            chunk = np.asarray(values[:buffer_size], dtype=np.float64)
+            chunk_ts = tss[:buffer_size]
+            values = values[buffer_size:]
+            tss = tss[buffer_size:]
+            bucket_idx = seq // buffer_size
+            n = buffer_size
+            s1 = float(chunk.sum())
+            s2 = float((chunk * chunk).sum())
+            chunk_avg = s1 / n
+            current_avg = (cum_s1 / cum_n) if cum_n > 0 else 0.0
+            # reference cross-term (descretizer.go:68-85) from exact sums:
+            # sum((v - cavg)(v - avg)) = S2 - avg*S1 - cavg*S1 + n*cavg*avg
+            stddev_sum = s2 - chunk_avg * s1 - current_avg * s1 + n * current_avg * chunk_avg
+            st = int(closest_discretize(chunk_avg, states, fixed_min, fixed_max))
+            out.append(
+                {
+                    "conv_id": key[0],
+                    "tool": key[1],
+                    "role": key[2],
+                    "metric": key[3],
+                    "bucket_idx": bucket_idx,
+                    "bucket_start": min(chunk_ts),
+                    "n": n,
+                    "s1": s1,
+                    "chunk_avg": chunk_avg,
+                    "current_avg": current_avg,
+                    "stddev_sum": stddev_sum,
+                    "state": st,
+                }
+            )
+            seq += buffer_size
+            cum_n += n
+            cum_s1 += s1
+
+        state.update((seq, cum_n, cum_s1, values, tss))
+        if out:
+            yield pd.DataFrame(out)
+
+    return chunk_fn
+
+
+def stream_chunk_states(series_stream: DataFrame, settings: Settings) -> DataFrame:
+    """Streaming chunk-state operator over a `derive_series`-shaped stream
+    (conv_id, tool, role, turn_idx, ts, metric, value). Emits one row per
+    COMPLETED chunk, append-mode; partial chunks wait in state."""
+    return series_stream.groupBy(*SERIES_COLS, "metric").applyInPandasWithState(
+        _make_chunk_fn(settings),
+        outputStructType=CHUNK_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
