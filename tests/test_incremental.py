@@ -82,3 +82,47 @@ def test_ttl_expiry_drops_old_partitions(spark, transcripts, tmp_path):
     kept_1m = {d[4:] for d in os.listdir(str(tmp_path / "s" / "tier=1m"))}
     all_days = {d[4:] for d in os.listdir(str(tmp_path / "s" / "tier=1h"))}
     assert len(kept_1m) < len(all_days)  # 1m tier expired, 1h kept
+
+
+def test_crash_before_commit_then_replay(spark, transcripts, tmp_path):
+    """Simulate a crash AFTER tier staging but BEFORE the manifest commit:
+    the staged day versions exist on disk but are invisible (no pointers);
+    a full replay of the same batch must converge to exactly the
+    single-run result — no double counts, no orphan visibility."""
+    from pyspark.sql import functions as F
+
+    from tsprofiler_spark.plans.retention import (
+        _tier_partials,
+        merge_transcript_batch,
+        touched_days,
+    )
+    from tsprofiler_spark.operators.ingest import derive_series
+
+    store = RollupStore(spark, str(tmp_path / "s"))
+    wm, affected = transcripts.agg(F.max("ts"), touched_days()).collect()[0]
+
+    # "crashed" attempt: stage the 1m tier under the SAME run_id the real
+    # batch will use, then stop — nothing committed
+    run_id = "stream-7"
+    _lin, ptrs = store.merge_tiers(
+        {"1m": _tier_partials(derive_series(transcripts), "1m")},
+        run_id, affected=affected,
+    )
+    assert store.read_tier("1m") is None  # staged versions are invisible
+    assert all(
+        os.path.isdir(os.path.join(str(tmp_path / "s"), "tier=1m", f"day={d}", f"v={run_id}"))
+        for d in ptrs["1m"]
+    )
+
+    # replay (as foreachBatch would after restart, same batch_id -> run_id)
+    merge_transcript_batch(
+        transcripts, store, run_id, wm.isoformat(sep=" "), affected=affected
+    )
+
+    ref = RollupStore(spark, str(tmp_path / "ref"))
+    merge_transcript_batch(
+        transcripts, ref, run_id, wm.isoformat(sep=" "), affected=affected
+    )
+    for tier in ("1m", "1h", "1d"):
+        assert _tier_rows(store, tier) == _tier_rows(ref, tier), tier
+    assert len(store.manifest.runs) == 1

@@ -164,3 +164,25 @@ def test_dedup_components_resolves_chains(spark, docs):
     base_ids = [r.doc_id for r in docs.where(F.col("doc_id") < 100000).limit(5).collect()]
     covered = sum(1 for b in base_ids if res.get(b + 100000) == res.get(b))
     assert covered >= 4
+
+
+def test_repetition_scores_flag_stuffed_docs(spark, docs):
+    from tsprofiler_spark.operators.textops import repetition_scores
+
+    stuffed = spark.createDataFrame(
+        [
+            (1, "buy cheap pills " * 50),          # one shingle repeated ~148x
+            (2, "a unique sentence with no repeats at all thanks"),
+            (3, "hi"),                               # < n words -> whole-text shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_scores(stuffed).collect()}
+    assert out[1].dup_ngram_ratio_u > 900000       # almost all shingles repeat
+    assert out[1].top_shingle_count >= 40
+    assert out[2].dup_ngram_ratio_u == 0
+    assert out[3].n_shingles == 1 and out[3].top_shingle_count == 1
+    # corpus-wide: ratios bounded, every doc scored
+    full = repetition_scores(docs)
+    assert full.count() == docs.count()
+    assert full.where("dup_ngram_ratio_u < 0 OR dup_ngram_ratio_u > 1000000").count() == 0

@@ -116,3 +116,57 @@ def doc_fingerprints(documents: DataFrame, window: int = 5) -> DataFrame:
         F.array_max(hashes).alias("fp_max"),
         F.size(hashes).alias("n_shingles"),
     )
+
+
+def repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Duplicate n-gram statistics — the standard web-scrape repetition
+    signal (boilerplate, keyword stuffing, decoding loops repeat shingles).
+
+    Per doc over NON-distinct word n-gram shingles (short texts fall back
+    to one whole-text shingle, same convention as doc_fingerprints):
+    total shingles, distinct shingles, the top shingle's multiplicity, and
+    ``dup_ngram_ratio = 1 - distinct/total`` in integer micro-units.
+
+    Pure array expressions per row — no explode, no shuffle: the shingle
+    multiset never leaves its row (aggregate over the sorted shingle array
+    counts the max run length). Scan-shaped at 100 TB.
+    """
+    words = _tokens(F.col("text"))
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + F.lit(j + 1)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.lower("text")))
+    srt = F.array_sort(shingles)
+    total = F.size(srt)
+    distinct = F.size(F.array_distinct(srt))
+    # max multiplicity via one fold over the sorted array: track (prev, run, best)
+    run_state = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, s: F.struct(
+            s.alias("prev"),
+            F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+    )
+    return documents.select(
+        "doc_id",
+        total.cast("int").alias("n_shingles"),
+        distinct.cast("int").alias("n_distinct_shingles"),
+        run_state.best.cast("int").alias("top_shingle_count"),
+        F.floor(
+            (F.lit(1.0) - distinct / F.greatest(total, F.lit(1))) * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dup_ngram_ratio_u"),
+    )

@@ -30,6 +30,7 @@ from tsprofiler_spark.operators.textops import (
     doc_fingerprints,
     language_id,
     quality_scores,
+    repetition_scores,
     token_counts,
 )
 from tsprofiler_spark.sources.tables import load_table
@@ -294,6 +295,33 @@ SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
     WHEN hits_fr >= hits_es THEN 'fr'
     ELSE 'es' END AS lang_pred
 FROM h
+""".strip(),
+)
+
+_register(
+    "text_repetition",
+    lambda spark, sf: repetition_scores(_docs(spark, sf), n=3),
+    """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws, lower(text) AS lt FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+         THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in generate_series(1, len(ws) - 2)]
+         ELSE [lt] END AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+mult AS (
+  SELECT doc_id, sh, COUNT(*) AS c FROM ex GROUP BY doc_id, sh
+)
+SELECT m.doc_id,
+  CAST(SUM(c) AS INT) AS n_shingles,
+  CAST(COUNT(*) AS INT) AS n_distinct_shingles,
+  CAST(MAX(c) AS INT) AS top_shingle_count,
+  CAST(FLOOR((1.0 - COUNT(*) / GREATEST(SUM(c), 1)) * 1000000 + 0.5) AS BIGINT)
+    AS dup_ngram_ratio_u
+FROM mult m GROUP BY m.doc_id
 """.strip(),
 )
 
