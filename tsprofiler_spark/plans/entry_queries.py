@@ -389,6 +389,55 @@ WINDOW
 """.strip(),
 )
 
+# --- q: as-of join (turn -> latest 1m rollup at or before its ts) -------------------
+# Spark has no ASOF JOIN; operators/asof.py implements it as ONE union +
+# window pass per key (no range-join blowup). DuckDB validates it with its
+# NATIVE ASOF LEFT JOIN — a strong cross-engine semantic check.
+
+def q_rollup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsprofiler_spark.operators.asof import asof_join
+
+    t = transcripts_from_events(spark, sf_dir)
+    series = derive_series(t)
+    tier_1m = build_tiers(series, SETTINGS)["1m"].select(
+        "conv_id", "tool", "role", "metric", "bucket_start", "n", "s1"
+    )
+    out = asof_join(
+        series, tier_1m, on=["conv_id", "tool", "role", "metric"],
+        left_ts="ts", right_ts="bucket_start",
+    )
+    return out.select(
+        "conv_id", "tool", "role", "metric", "turn_idx", "ts", "value",
+        F.col("n_asof").cast("long").alias("n_asof"),
+        F.col("s1_asof").alias("s1_asof"),
+    )
+
+
+_register(
+    "rollup_asof",
+    q_rollup_asof,
+    f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  SELECT conv_id, tool, role, turn_idx, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+tier AS (
+  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(value) AS n, SUM(value) AS s1
+  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
+)
+SELECT s.conv_id, s.tool, s.role, s.metric, s.turn_idx, s.ts, s.value,
+       t.n AS n_asof, t.s1 AS s1_asof
+FROM series s ASOF LEFT JOIN tier t
+  ON s.conv_id = t.conv_id AND s.tool = t.tool AND s.role = t.role
+ AND s.metric = t.metric AND s.ts >= t.bucket_start
+""".strip(),
+)
+
 # --- q: codec round-trip ---------------------------------------------------------------
 
 def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
