@@ -42,6 +42,45 @@ def test_dod_roundtrip(case):
     np.testing.assert_array_equal(ts, dod_decode(dod_encode(ts)))
 
 
+def test_dod_encode_many_bit_identical_to_scalar():
+    """The batch encoder must produce byte-for-byte the scalar DoD stream
+    for every segment (the format has no sequential encoder state)."""
+    from tsprofiler_spark.codec.vectorized import dod_encode_many
+
+    segs = TS_CASES + [np.array([-5, 3, 10**15], dtype=np.int64)]
+    lengths = np.array([len(s) for s in segs])
+    cat = np.concatenate(segs)
+    blobs = dod_encode_many(cat, lengths)
+    for seg, blob in zip(segs, blobs):
+        assert blob == dod_encode(seg)
+
+
+def test_gorilla_encode_many_roundtrips_via_scalar_decoder():
+    """The batch encoder fixes one (lead, mbits) block per segment — a
+    different token policy but the same bitstream grammar, so the scalar
+    decoder must reproduce every value bit-exactly."""
+    from tsprofiler_spark.codec.vectorized import gorilla_encode_many
+
+    segs = FLOAT_CASES
+    lengths = np.array([len(s) for s in segs])
+    cat = np.concatenate(segs)
+    blobs = gorilla_encode_many(cat, lengths)
+    for seg, blob in zip(segs, blobs):
+        out = gorilla_decode(blob)
+        np.testing.assert_array_equal(seg.view(np.uint64), out.view(np.uint64))
+
+
+def test_vectorized_gorilla_ratio_close_to_scalar():
+    """Fixed-block policy costs at most a few % vs the adaptive scalar
+    policy on rolled-up-like series (similar values per segment)."""
+    from tsprofiler_spark.codec.vectorized import gorilla_encode_many
+
+    vals = np.round(50 + 30 * np.sin(np.arange(5000) / 100))
+    blob_v = gorilla_encode_many(vals, np.array([len(vals)]))[0]
+    blob_s = gorilla_encode(vals)
+    assert len(blob_v) <= 1.10 * len(blob_s)
+
+
 def test_compression_ratio_on_regular_series():
     # regular 60s cadence + slowly varying values must compress well
     ts = np.arange(1700000000, 1700000000 + 60 * 5000, 60, dtype=np.int64)

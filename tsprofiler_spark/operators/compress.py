@@ -56,19 +56,22 @@ def compress_points(tier_df: DataFrame) -> DataFrame:
     def encode_batches(batches):
         import numpy as np
 
-        from tsprofiler_spark.codec import dod_encode, gorilla_encode
+        from tsprofiler_spark.codec.vectorized import dod_encode_many, gorilla_encode_many
 
         for pdf in batches:
-            ts_list, val_list = pdf["ts_arr"], pdf["val_arr"]
-            n_points, ts_dod, gor = [], [], []
-            for ts_arr, val_arr in zip(ts_list, val_list):
-                ts = np.asarray(ts_arr, dtype="datetime64[us]").astype("int64")
-                vals = np.asarray(val_arr, dtype=np.float64)
-                n_points.append(len(vals))
-                ts_dod.append(dod_encode(ts))
-                gor.append(gorilla_encode(vals))
+            ts_segs = [
+                np.asarray(a, dtype="datetime64[us]").astype("int64")
+                for a in pdf["ts_arr"]
+            ]
+            val_segs = [np.asarray(a, dtype=np.float64) for a in pdf["val_arr"]]
+            lengths = np.fromiter((len(a) for a in val_segs), dtype=np.int64, count=len(val_segs))
+            ts_cat = np.concatenate(ts_segs) if ts_segs else np.zeros(0, np.int64)
+            val_cat = np.concatenate(val_segs) if val_segs else np.zeros(0, np.float64)
+            # whole-batch vectorized encode: every segment in one numpy pass
+            ts_dod = dod_encode_many(ts_cat, lengths)
+            gor = gorilla_encode_many(val_cat, lengths)
             out = pdf[["conv_id", "tool", "role", "metric", "tier", "seg_day"]].copy()
-            out["n_points"] = n_points
+            out["n_points"] = lengths
             out["ts_dod"] = ts_dod
             out["points_gorilla"] = gor
             yield out
