@@ -89,3 +89,71 @@ def test_compression_ratio_on_regular_series():
     blob_v = gorilla_encode(vals)
     assert len(blob_ts) < 0.05 * ts.nbytes  # ~1 bit per regular timestamp
     assert len(blob_v) < 0.5 * vals.nbytes
+
+
+# --- property-based: any float64/int64 content must round-trip ------------
+
+try:
+    from hypothesis import given, settings as hsettings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @given(
+        arrays(
+            np.float64,
+            st.integers(0, 300),
+            elements=st.floats(allow_nan=False, width=64),
+        )
+    )
+    @hsettings(max_examples=60, deadline=None)
+    def test_gorilla_roundtrip_property(vals):
+        out = gorilla_decode(gorilla_encode(vals))
+        np.testing.assert_array_equal(vals.view(np.uint64), out.view(np.uint64))
+
+    @given(
+        st.lists(
+            arrays(
+                np.float64,
+                st.integers(0, 80),
+                elements=st.floats(allow_nan=False, width=64),
+            ),
+            max_size=8,
+        )
+    )
+    @hsettings(max_examples=40, deadline=None)
+    def test_gorilla_many_roundtrip_property(segs):
+        from tsprofiler_spark.codec.vectorized import gorilla_encode_many
+
+        lengths = np.array([len(s) for s in segs], dtype=np.int64)
+        cat = np.concatenate(segs) if segs else np.zeros(0, np.float64)
+        for seg, blob in zip(segs, gorilla_encode_many(cat, lengths)):
+            out = gorilla_decode(blob)
+            np.testing.assert_array_equal(seg.view(np.uint64), out.view(np.uint64))
+
+    @given(
+        st.lists(
+            arrays(
+                np.int64,
+                st.integers(0, 80),
+                # keep |dod| < 2^62 so intermediate deltas cannot overflow
+                elements=st.integers(-(2**60), 2**60),
+            ),
+            max_size=8,
+        )
+    )
+    @hsettings(max_examples=40, deadline=None)
+    def test_dod_many_matches_scalar_property(segs):
+        from tsprofiler_spark.codec.vectorized import dod_encode_many
+
+        lengths = np.array([len(s) for s in segs], dtype=np.int64)
+        cat = np.concatenate(segs) if segs else np.zeros(0, np.int64)
+        blobs = dod_encode_many(cat, lengths)
+        for seg, blob in zip(segs, blobs):
+            assert blob == dod_encode(seg)
+            np.testing.assert_array_equal(seg, dod_decode(blob))

@@ -265,7 +265,10 @@ def gorilla_encode_many(
 
     # absolute bit offset per element token: segmented exclusive prefix sum
     excl = np.cumsum(widths) - widths
-    base = excl[starts]  # widths excl at each segment's first element
+    # widths excl at each segment's first element (empty segments have none)
+    base = np.zeros(n_seg, dtype=np.int64)
+    nonempty = lengths > 0
+    base[nonempty] = excl[starts[nonempty]]
     off = seg_bit_start[sid] + 32 + (excl - base[sid])
 
     # raw first values
