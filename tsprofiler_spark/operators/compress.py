@@ -110,24 +110,28 @@ def decompress_points(compressed: DataFrame) -> DataFrame:
         from tsprofiler_spark.codec import dod_decode, gorilla_decode
 
         for pdf in batches:
-            frames = []
-            for _, row in pdf.iterrows():
-                ts = dod_decode(bytes(row["ts_dod"]))
-                vals = gorilla_decode(bytes(row["points_gorilla"]))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": row["conv_id"],
-                            "tool": row["tool"],
-                            "role": row["role"],
-                            "metric": row["metric"],
-                            "tier": row["tier"],
-                            "bucket_start": pd.to_datetime(ts, unit="us"),
-                            "avg": vals,
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            # decode every segment, then build ONE frame for the whole batch
+            # (per-row DataFrame construction + concat costs more than the
+            # bit decode itself at high segment counts)
+            ts_parts = [dod_decode(bytes(b)) for b in pdf["ts_dod"]]
+            val_parts = [gorilla_decode(bytes(b)) for b in pdf["points_gorilla"]]
+            lengths = np.fromiter(
+                (len(v) for v in val_parts), dtype=np.int64, count=len(val_parts)
+            )
+            out = {
+                col: np.repeat(pdf[col].to_numpy(), lengths)
+                for col in ("conv_id", "tool", "role", "metric", "tier")
+            }
+            out["bucket_start"] = pd.to_datetime(
+                np.concatenate(ts_parts) if ts_parts else np.zeros(0, np.int64),
+                unit="us",
+            )
+            out["avg"] = (
+                np.concatenate(val_parts) if val_parts else np.zeros(0, np.float64)
+            )
+            if lengths.sum():
+                yield pd.DataFrame(out)
 
     return compressed.mapInPandas(decode, DECOMPRESSED_SCHEMA)
