@@ -65,3 +65,22 @@ def test_registered_queries_have_no_cartesian_or_python_rows(spark):
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_chunk_stage_dir_matches_cached_profile(spark, transcripts_path, tmp_path):
+    """Staged-parquet chunk pinning (the cluster-scale mode used by
+    tools/run_pipeline.py) must produce the exact same profile as the
+    executor-heap cache mode, and its downstream plan must read the staged
+    parquet (a FileScan), not re-execute the gap-fill subtree."""
+    t = spark.read.parquet(transcripts_path)
+    cached = profile_pipeline(t, SETTINGS, do_gap_fill=True)
+    staged = profile_pipeline(
+        t, SETTINGS, do_gap_fill=True,
+        chunk_stage_dir=str(tmp_path / "chunk_stage"),
+    )
+    plan = _plan(staged["profile"])
+    assert "chunk_stage" in plan  # downstream branches scan the staged copy
+    a = sorted(cached["profile"].toJSON().collect())
+    b = sorted(staged["profile"].toJSON().collect())
+    cached["chunks"].unpersist()
+    assert a == b

@@ -141,9 +141,12 @@ def main() -> None:
 
             def do_profiles():
                 # run_profile inside the timing: it eagerly materializes the
-                # chunk cache (the heavy scan->gap-fill->bucketize pass)
+                # chunk table (the heavy scan->gap-fill->bucketize pass).
+                # Staged parquet, not an executor-heap cache: same reasoning
+                # that moved the tier cascade to staged parquet.
                 profile = run_profile(
-                    transcripts, settings, do_gap_fill=True, step_seconds=60
+                    transcripts, settings, do_gap_fill=True, step_seconds=60,
+                    chunk_stage_dir=os.path.join(out_dir, "chunk_stage"),
                 )
                 profile.write.mode("overwrite").parquet(prof_path)
                 return spark.read.parquet(prof_path).count()

@@ -38,22 +38,30 @@ def profile_pipeline(
     step_seconds: int = 60,
     cache_chunks: bool = True,
     segment_turns: int | None = None,
+    chunk_stage_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Return every intermediate stage keyed by name.
 
-    ``cache_chunks`` persists the per-chunk stats table (1/buffer_size the
-    raw row count) and materializes it EAGERLY (one count() job): both the
-    transition branch and the stats branch of the final profile consume it,
-    and without the pinned cache Catalyst re-executes the whole
-    scan→gap-fill→bucketize subtree once per branch. So with the default
-    the returned plan is NOT fully lazy — one upstream pass runs here.
-    The persisted handle is returned as ``stages["chunks"]``; callers that
-    build many pipelines in one long-lived session (tests, notebooks)
-    should ``stages["chunks"].unpersist()`` when done, else the
-    MEMORY_AND_DISK entries accumulate. At cluster scale this table is the
-    natural materialization point (it IS the queryable bucketed
-    intermediate — reference A25) and would be written to its own Iceberg
-    table instead.
+    The per-chunk stats table (1/buffer_size the raw row count) feeds BOTH
+    the transition branch and the stats branch of the final profile;
+    without pinning it, Catalyst re-executes the whole
+    scan→gap-fill→bucketize subtree once per branch. Two pinning modes:
+
+    * ``chunk_stage_dir`` (the cluster-scale mode): write the chunk table
+      to parquet there and read it back — the job-local analogue of
+      materializing it as its own Iceberg table (it IS the queryable
+      bucketed intermediate — reference A25). No executor-heap cache, so
+      a small cluster is not penalized by GC the way a deserialized
+      MEMORY_AND_DISK cache penalizes it (same reasoning that moved the
+      tier cascade to staged parquet).
+    * ``cache_chunks`` (default, used when no stage dir is given):
+      persist + eager count(). The persisted handle is returned as
+      ``stages["chunks"]``; callers that build many pipelines in one
+      long-lived session (tests, notebooks) should
+      ``stages["chunks"].unpersist()`` when done.
+
+    With either mode the returned plan is NOT fully lazy — one upstream
+    pass runs here.
     """
     stages: dict[str, DataFrame] = {}
     t = transcripts
@@ -77,7 +85,15 @@ def profile_pipeline(
         bucketed = bucketize(series, settings.buffer_size)
     stages["bucketed"] = bucketed
     chunks = chunk_stats(bucketed, settings)
-    if cache_chunks:
+    if chunk_stage_dir is not None:
+        # Cluster-scale pinning: one write job materializes the chunk
+        # table as columnar parquet, and both downstream branches re-scan
+        # that (compressed, column-pruned) copy instead of a deserialized
+        # executor-heap cache. Heap stays free for the shuffle stages.
+        spark = chunks.sparkSession
+        chunks.write.mode("overwrite").parquet(chunk_stage_dir)
+        chunks = spark.read.parquet(chunk_stage_dir)
+    elif cache_chunks:
         from pyspark import StorageLevel
 
         chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
