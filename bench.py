@@ -142,6 +142,7 @@ def main() -> None:
             for name in (
                 "dedup_exact", "dedup_minhash_candidates", "dedup_components",
                 "dedup_simhash", "text_quality", "text_repetition", "sim_ann_topk",
+                "multimodal_decode_image",
             ):
                 total += PIPELINE_QUERIES[name](spark, SF_DIR).count()
             return total

@@ -23,6 +23,8 @@ from tsprofiler_spark.operators.multimodal import (
     attach_payload,
     decode_features,
     sample_frames,
+    synthesize_ppm_payloads,
+    synthesize_wav_payloads,
 )
 from tsprofiler_spark.operators.similarity import ann_topk, brute_force_topk, lsh_buckets
 from tsprofiler_spark.operators.textops import (
@@ -965,6 +967,85 @@ SELECT g.doc_id, 'image' AS modality, CAST(g.n_bytes AS BIGINT) AS n_bytes,
        'stub-bytehist' AS decoder, CAST(g.fi AS INT) AS feature_idx,
        CAST(FLOOR(COALESCE(c.c, 0) / GREATEST(g.n_bytes, 1) * 1000000 + 0.5) AS BIGINT) AS value_u
 FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.feature_idx = g.fi
+""".strip(),
+)
+
+# --- REAL decoders over uncompressed formats: payloads are genuine PPM/P6
+# --- and PCM16 WAV binaries built deterministically from the corpus, parsed
+# --- by actual format parsers (numpy / stdlib wave); the oracle recomputes
+# --- the features straight from the construction's modular byte indexing --
+
+
+def _q_multimodal_decode_image(spark, sf):
+    feats = decode_features(synthesize_ppm_payloads(_docs(spark, sf)))
+    # features = [w, h, sum_r, sum_g, sum_b] — all integer-exact in float64
+    return feats.select(
+        "doc_id",
+        "decoder",
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        F.element_at("features", 3).cast("long").alias("sum_r"),
+        F.element_at("features", 4).cast("long").alias("sum_g"),
+        F.element_at("features", 5).cast("long").alias("sum_b"),
+    )
+
+
+def _q_multimodal_decode_audio(spark, sf):
+    feats = decode_features(synthesize_wav_payloads(_docs(spark, sf)))
+    # features = [n_channels, framerate, n_frames, sum_samples, sum_abs]
+    return feats.select(
+        "doc_id",
+        "decoder",
+        F.element_at("features", 1).cast("int").alias("n_channels"),
+        F.element_at("features", 2).cast("int").alias("framerate"),
+        F.element_at("features", 3).cast("long").alias("n_frames"),
+        F.element_at("features", 4).cast("long").alias("sum_samples"),
+        F.element_at("features", 5).cast("long").alias("sum_abs_samples"),
+    )
+
+
+_register(
+    "multimodal_decode_image",
+    _q_multimodal_decode_image,
+    """
+WITH s AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents
+),
+v AS (SELECT doc_id, t, length(t) AS L FROM s WHERE length(t) > 0),
+px AS (
+  SELECT doc_id,
+         ascii(substr(t, CAST((i % L) + 1 AS INT), 1)) AS b,
+         i % 3 AS ch
+  FROM v, (SELECT unnest(generate_series(0, 767)) AS i)
+)
+SELECT doc_id, 'ppm-numpy' AS decoder, 16 AS width, 16 AS height,
+       CAST(SUM(CASE WHEN ch = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN ch = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN ch = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+""".strip(),
+)
+
+_register(
+    "multimodal_decode_audio",
+    _q_multimodal_decode_audio,
+    """
+WITH s AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents
+),
+v AS (SELECT doc_id, t, length(t) AS L FROM s WHERE length(t) > 0),
+sm AS (
+  SELECT doc_id,
+         ascii(substr(t, CAST((2 * k % L) + 1 AS INT), 1))
+         + 256 * ascii(substr(t, CAST(((2 * k + 1) % L) + 1 AS INT), 1)) AS u
+  FROM v, (SELECT unnest(generate_series(0, 511)) AS k)
+),
+sv AS (SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS val FROM sm)
+SELECT doc_id, 'wav-stdlib' AS decoder, 1 AS n_channels, 8000 AS framerate,
+       CAST(512 AS BIGINT) AS n_frames,
+       CAST(SUM(val) AS BIGINT) AS sum_samples,
+       CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs_samples
+FROM sv GROUP BY doc_id
 """.strip(),
 )
 
