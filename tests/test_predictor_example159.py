@@ -108,3 +108,63 @@ def test_simulate_runs_deterministically_on_fixture(profile, history):
         for o in step_out:
             assert 0 <= o["state"] < 10
             assert 0 <= o["value"] <= 110  # min + 9*10 + bounded noise
+
+
+def test_counter_rng_walk_matches_independent_replication(profile, history):
+    """CounterRng (the SQL-replicable RNG behind predictor_simulate_det)
+    must be pure counter arithmetic, and the no-noise kernel walk it
+    drives must match an independent in-test replication of the weighted
+    choice + argmax-StepProb fallback on the real fixture."""
+    from tsprofiler_spark.kernel.predictor import CounterRng
+
+    r = CounterRng(159)
+    seq = [r.randrange(100) for _ in range(4)]
+    expected = []
+    for c in range(4):
+        h = (159 * 2654435761 + c * 40503 + 692541) % 2147483647
+        expected.append(((16807 * h) % 2147483647) % 100)
+    assert seq == expected
+
+    # ident-sort transitions so fallback tie-breaking is pinned (the Go
+    # reference iterates a randomized map; any deterministic order is
+    # equally faithful — predictor_simulate_det pins min-ident).
+    doc = json.loads(json.dumps(profile))
+    for tx in doc["roottx"]:
+        tx["transitions"] = {k: tx["transitions"][k] for k in sorted(tx["transitions"])}
+    pred = Predictor(doc, mode="roottx", rng=CounterRng(159), noise=False)
+    pred.current_state = {m: s for m, s in history["historicStates"][0].items()}
+    sim = pred.simulate(steps=5)
+
+    # independent replication: one shared counter across metrics per step,
+    # iterating metrics in current_state insertion order like the kernel
+    cur = dict(history["historicStates"][0])
+    rng = CounterRng(159)
+    for step_out in sim:
+        by_metric = {o["metric"]: o for o in step_out}
+        for metric in list(cur):
+            tx = next(t for t in doc["roottx"] if t["metric"] == metric)
+            step = tx["transitions"].get(cur[metric])
+            if step is None:
+                best = max(
+                    (s for s in tx["transitions"] if tx["transitions"][s]["probability"] > 0),
+                    key=lambda s: (tx["transitions"][s]["probability"], [-ord(ch) for ch in s]),
+                )
+                step = tx["transitions"][best]
+            weights = step["nextProbs"]
+            total = sum(w for w in weights if w > 0)
+            rr = rng.randrange(total)
+            acc, nxt = 0, len(weights) - 1
+            for i, w in enumerate(weights):
+                if w <= 0:
+                    continue
+                acc += w
+                if rr < acc:
+                    nxt = i
+                    break
+            stats = tx["stats"]
+            state_size = round((stats["max"] - stats["min"]) / 10)
+            want_val = int(stats["min"] + nxt * state_size + 0.5) if state_size > 0 else 0
+            got = by_metric[metric]
+            assert got["state"] == nxt
+            assert got["value"] == want_val
+            cur[metric] = str(nxt)

@@ -18,6 +18,34 @@ MODE_PHASES = "phases"
 MODE_PERIODS = "periods"
 
 
+class CounterRng:
+    """Deterministic counter-based RNG for the driver's value-checked
+    simulation (``predictor_simulate_det``).
+
+    The reference draws from math/rand (predictor/util.go:69-84) — the
+    exact stream carries no semantics, only the weighted-choice mechanics
+    do — so for a DuckDB-replicable walk we substitute a two-round 31-bit
+    LCG mix keyed on (seed, call counter). Call ``c`` yields::
+
+        h = (seed*2654435761 + c*40503 + 692541) % 2147483647
+        randrange(n) = ((16807*h) % 2147483647) % n
+
+    All intermediates fit in 64-bit signed integers (max product
+    ~2^45), so the identical expression evaluates overflow-free in both
+    Spark SQL and DuckDB BIGINT arithmetic.
+    """
+
+    def __init__(self, seed: int):
+        self.seed = seed
+        self.calls = 0
+
+    def randrange(self, n: int) -> int:
+        c = self.calls
+        self.calls += 1
+        h = (self.seed * 2654435761 + c * 40503 + 692541) % 2147483647
+        return ((16807 * h) % 2147483647) % n
+
+
 def _find_metric(txmatrices: list[dict], metric: str) -> dict | None:
     found = None
     for tx in txmatrices:
@@ -51,10 +79,18 @@ def _find_by_step_prob(tx: dict) -> dict | None:
 
 
 class Predictor:
-    def __init__(self, profile: dict, mode: str = MODE_ROOTTX, seed: int = 42):
+    def __init__(
+        self,
+        profile: dict,
+        mode: str = MODE_ROOTTX,
+        seed: int = 42,
+        rng=None,
+        noise: bool = True,
+    ):
         self.profile = profile
         self.mode = mode
-        self.rng = random.Random(seed)
+        self.rng = rng if rng is not None else random.Random(seed)
+        self.noise = noise
         self.settings = profile["settings"]
         self.current_phase = 0
         self.period_path: list[int] = [0] * len(self.settings.get("periodsize", []))
@@ -143,6 +179,11 @@ class Predictor:
         state_size = go_round(float(vmax - vmin) / float(states))
         if state_size <= 0:
             return 0
+        if not self.noise:
+            # det mode (predictor_simulate_det): no noise draw, so the RNG
+            # call counter advances exactly once per step (weighted choice)
+            # and the walk is SQL-replicable.
+            return int(go_round(vmin + float(state) * state_size))
         noise = float(self.rng.randrange(int(state_size))) * (stddev / vmax)
         value = vmin + float(state) * state_size + noise
         return int(go_round(value))

@@ -921,6 +921,147 @@ def _q_predictor_simulate(spark, sf):
 
 _register("predictor_simulate", _q_predictor_simulate)
 
+
+def _q_predictor_simulate_det(spark, sf):
+    """Value-checked twin of predictor_simulate: the SAME kernel walk
+    (ident lookup with history-cut fallback, highest-StepProb fallback,
+    weighted choice, history append, value reconstruction —
+    predictor/predictor.go:191-220, util.go:29-95) but driven by the
+    SQL-replicable CounterRng instead of math/rand-style draws and with
+    the noise term off, so DuckDB can recompute the walk relationally
+    and the driver hash-checks it. Transitions are canonicalized to
+    ident-sorted order first: the reference's argmax-StepProb fallback
+    iterates a Go map (RANDOMIZED order), so tie-breaking is free — we
+    pin min-ident-among-maxes, which SQL expresses as
+    ORDER BY step_prob DESC, ident ASC."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    profiles = _q_parity_profiles(spark, sf)
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("tool", StringType()),
+            StructField("role", StringType()),
+            StructField("metric", StringType()),
+            StructField("step", IntegerType()),
+            StructField("state", IntegerType()),
+            StructField("sim_value", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        from tsprofiler_spark.kernel.predictor import CounterRng, Predictor
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                doc = json.loads(row["profile_json"])
+                if not doc["roottx"]:
+                    continue
+                for tx in doc["roottx"]:
+                    tx["transitions"] = {
+                        k: tx["transitions"][k]
+                        for k in sorted(tx["transitions"])
+                    }
+                pred = Predictor(
+                    doc, mode="roottx", rng=CounterRng(159), noise=False
+                )
+                for step_no, step_out in enumerate(pred.simulate(steps=5)):
+                    for m in step_out:
+                        out.append(
+                            {
+                                "conv_id": row["conv_id"],
+                                "tool": row["tool"],
+                                "role": row["role"],
+                                "metric": m["metric"],
+                                "step": step_no,
+                                "state": m["state"],
+                                "sim_value": m["value"],
+                            }
+                        )
+            if out:
+                yield pd.DataFrame(out)
+
+    return profiles.mapInPandas(run, schema)
+
+
+def _simulate_det_oracle(steps: int = 5, seed: int = 159) -> str:
+    """Unroll the CounterRng walk into chained DuckDB CTEs over the txm
+    relation (one join + windowed cumulative weighted-choice per step).
+
+    fix_bound parity config ⇒ counter stats min/max are the fixed bounds
+    (0, 128), so state_size = round(128/8) = 16 exactly and the no-noise
+    sim_value = state*16 in exact integer arithmetic on both engines."""
+    keys = "conv_id, tool, role, metric"
+    on = " AND ".join(
+        f"x.{k} = p.{k}" for k in ("conv_id", "tool", "role", "metric")
+    )
+    ctes = [
+        # per-ident step_prob (constant across the 8 next_state rows)
+        f"idents AS (SELECT DISTINCT {keys}, ident, step_prob FROM txm "
+        "WHERE step_prob > 0)",
+        # argmax-StepProb init state = the kernel's _initialize_state
+        f"init AS (SELECT {keys}, ident AS s_str, ident AS init_ident "
+        "FROM idents QUALIFY ROW_NUMBER() OVER (PARTITION BY "
+        f"{keys} ORDER BY step_prob DESC, ident ASC) = 1)",
+        f"prev0 AS (SELECT {keys}, s_str, init_ident FROM init)",
+    ]
+    outs = []
+    for t in range(steps):
+        h = (seed * 2654435761 + t * 40503 + 692541) % 2147483647
+        rbase = (16807 * h) % 2147483647
+        ctes.append(
+            f"""cand{t} AS (
+  SELECT p.conv_id, p.tool, p.role, p.metric, p.init_ident,
+         x.next_state, x.prob_pct,
+         SUM(x.prob_pct) OVER (PARTITION BY p.conv_id, p.tool, p.role, p.metric
+             ORDER BY x.next_state) AS cum,
+         SUM(x.prob_pct) OVER (PARTITION BY p.conv_id, p.tool, p.role, p.metric) AS tot
+  FROM prev{t} p
+  JOIN txm x ON {on} AND x.prob_pct > 0
+   AND x.ident = CASE WHEN EXISTS (
+         SELECT 1 FROM txm h WHERE h.conv_id = p.conv_id AND h.tool = p.tool
+           AND h.role = p.role AND h.metric = p.metric AND h.ident = p.s_str)
+       THEN p.s_str ELSE p.init_ident END
+)"""
+        )
+        ctes.append(
+            f"""prev{t + 1} AS (
+  SELECT {keys}, init_ident,
+         CAST(MIN(CASE WHEN cum > ({rbase} % tot) THEN next_state END) AS VARCHAR) AS s_str
+  FROM cand{t}
+  GROUP BY {keys}, init_ident
+)"""
+        )
+        outs.append(
+            f"SELECT {keys}, {t} AS step, CAST(s_str AS INT) AS state "
+            f"FROM prev{t + 1}"
+        )
+    union = "\nUNION ALL\n".join(outs)
+    return (
+        "WITH {parity},\n"
+        + ",\n".join(ctes)
+        + f",\nwalk AS (\n{union}\n)\n"
+        + "SELECT conv_id, tool, role, metric, CAST(step AS INT) AS step, "
+        "state, CAST(state * 16 AS INT) AS sim_value FROM walk"
+    )
+
+
+_register(
+    "predictor_simulate_det",
+    _q_predictor_simulate_det,
+    _simulate_det_oracle().format(parity=_parity_cte()),
+)
+
 # --- multimodal plumbing (decode honestly stubbed: the byte-histogram fake is
 # --- deterministic, so BOTH queries are value-checked against DuckDB — the
 # --- documents corpus is pure ASCII, so bytes == code points on the SQL side) --
