@@ -186,3 +186,34 @@ def test_repetition_scores_flag_stuffed_docs(spark, docs):
     full = repetition_scores(docs)
     assert full.count() == docs.count()
     assert full.where("dup_ngram_ratio_u < 0 OR dup_ngram_ratio_u > 1000000").count() == 0
+
+
+def test_derive_multi_series_alignment(spark, sf_dir):
+    """Multi-metric stack projection: one row per (turn, metric); the
+    len_text slice is row-identical to the single-metric projection, and
+    per-metric bucketize ranks stay aligned across metrics (reference
+    closes chunks on input count — profiler.go:107)."""
+    from tsprofiler_spark.operators.ingest import derive_multi_series, derive_series
+    from tsprofiler_spark.operators.profile import bucketize
+    from tsprofiler_spark.sources.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(spark, sf_dir)
+    multi = derive_multi_series(t, ("len_text", "n_words")).cache()
+    single = derive_series(t)
+
+    assert multi.count() == 2 * t.count()
+    assert (
+        multi.where(F.col("metric") == "len_text")
+        .exceptAll(single)
+        .count()
+        == 0
+    )
+
+    b = bucketize(multi, 4)
+    misaligned = (
+        b.groupBy("conv_id", "tool", "role", "turn_idx")
+        .agg(F.count_distinct("bucket_idx").alias("nb"))
+        .where(F.col("nb") != 1)
+    )
+    assert misaligned.count() == 0
+    multi.unpersist()

@@ -28,6 +28,41 @@ def derive_series(transcripts: DataFrame, metric_name: str = "len_text") -> Data
     )
 
 
+# SQL-portable metric expressions (identical text runs on Spark and DuckDB;
+# the word count avoids split()-semantics divergence by counting spaces).
+METRIC_EXPRS: dict[str, str] = {
+    "len_text": "CAST(length(text) AS DOUBLE)",
+    "n_words": (
+        "CAST(CASE WHEN length(text) = 0 THEN 0 "
+        "ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS DOUBLE)"
+    ),
+}
+
+
+def derive_multi_series(
+    transcripts: DataFrame, metrics: tuple[str, ...] = ("len_text", "n_words")
+) -> DataFrame:
+    """Multi-metric projection: one observation row per (turn, metric).
+
+    The reference profiles SEVERAL metrics per time-step (TSInput carries
+    one TSInputMetric per CSV column, named metric_<i> —
+    cmd/csv2tsprofile/main.go:179-193; example-159 runs 3). Spark shape:
+    ``stack(n, 'name', expr, ...)`` — a single JVM-side generator
+    projection, no shuffle, no UDF, and every downstream operator already
+    partitions by (series, metric) so chunking/counting/rollup work
+    unchanged. Chunk boundaries stay aligned across metrics (reference
+    closes chunks on input count, profiler.go:107) because each turn emits
+    exactly one row per metric, so per-metric ``row_number()`` ranks are
+    equal for equal turns.
+    """
+    n = len(metrics)
+    pairs = ", ".join(f"'{m}', {METRIC_EXPRS[m]}" for m in metrics)
+    return transcripts.selectExpr(
+        "conv_id", "tool", "role", "turn_idx", "ts",
+        f"stack({n}, {pairs}) AS (metric, value)",
+    )
+
+
 def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
     """Fill missing turn_idx values per conversation — join-free.
 

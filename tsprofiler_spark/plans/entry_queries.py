@@ -54,14 +54,18 @@ _TIER_STATE_SQL = closest_state_sql("s1 / n", SETTINGS.states, 0.0, 128.0)
 # shared oracle CTE chain (DuckDB dialect == Spark-compatible subset)
 # ---------------------------------------------------------------------------
 
+_SERIES_SELECT_SINGLE = """
+  SELECT conv_id, tool, role, turn_idx, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+""".strip()
+
 _CTE_SERIES = f"""
 transcripts AS (
 {TRANSCRIPTS_FROM_EVENTS_SQL}
 ),
 series AS (
-  SELECT conv_id, tool, role, turn_idx, ts,
-         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
-  FROM transcripts
+  {_SERIES_SELECT_SINGLE}
 ),
 bucketed AS (
   SELECT *, ROW_NUMBER() OVER (
@@ -217,6 +221,47 @@ SELECT {SERIES}, metric, bucket_idx, bucket_start, n, s1, chunk_avg,
 FROM states
 """.strip()
     ),
+)
+
+# --- q: multi_metric_states -----------------------------------------------------
+# A2 multi-metric parity: the reference profiles several metrics per
+# time-step (example-159 runs 3). Same chunk/state chain over TWO derived
+# metrics (len_text + n_words) via a stack() projection; the oracle swaps
+# the series CTE for a UNION ALL of the same SQL-portable metric exprs.
+
+def q_multi_metric_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsprofiler_spark.operators.ingest import derive_multi_series
+
+    t = transcripts_from_events(spark, sf_dir)
+    series = derive_multi_series(t, ("len_text", "n_words"))
+    chunks = chunk_stats(bucketize(series, SETTINGS.buffer_size), SETTINGS)
+    return with_state(chunks, SETTINGS).select(
+        "conv_id", "tool", "role", "metric", "bucket_idx", "n", "s1",
+        _micro(F.col("chunk_avg")).alias("chunk_avg_u"), "state",
+    )
+
+
+def _multi_series_select() -> str:
+    from tsprofiler_spark.operators.ingest import METRIC_EXPRS
+
+    return "\n  UNION ALL\n".join(
+        f"  SELECT conv_id, tool, role, turn_idx, ts,\n"
+        f"         '{m}' AS metric, {METRIC_EXPRS[m]} AS value\n"
+        f"  FROM transcripts"
+        for m in ("len_text", "n_words")
+    )
+
+
+_register(
+    "multi_metric_states",
+    q_multi_metric_states,
+    "WITH "
+    + _CTE_SERIES.replace(_SERIES_SELECT_SINGLE, _multi_series_select())
+    + f"""
+SELECT {SERIES}, metric, bucket_idx, n, s1,
+       {_U.format(x='chunk_avg')} AS chunk_avg_u, state
+FROM states
+""".rstrip(),
 )
 
 # --- q: transition_counts -------------------------------------------------------
