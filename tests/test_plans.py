@@ -84,3 +84,23 @@ def test_chunk_stage_dir_matches_cached_profile(spark, transcripts_path, tmp_pat
     b = sorted(staged["profile"].toJSON().collect())
     cached["chunks"].unpersist()
     assert a == b
+
+
+def test_multi_metric_profile_end_to_end(spark, transcripts_path):
+    """run_profile(metrics=...) yields one profile row per (series, metric)
+    and the len_text slice is value-identical to the single-metric run."""
+    from tsprofiler_spark.plans.pipeline import run_profile
+
+    t = spark.read.parquet(transcripts_path)
+    single = run_profile(t, SETTINGS, do_gap_fill=True, cache_chunks=False)
+    multi = run_profile(
+        t, SETTINGS, do_gap_fill=True, cache_chunks=False,
+        metrics=("len_text", "n_words"),
+    )
+    assert set(
+        r.metric for r in multi.select("metric").distinct().collect()
+    ) == {"len_text", "n_words"}
+    key = ["conv_id", "tool", "role", "metric"]
+    sl = single.select(*key, "profile_json")
+    ml = multi.where(F.col("metric") == "len_text").select(*key, "profile_json")
+    assert sl.exceptAll(ml).count() == 0 and ml.exceptAll(sl).count() == 0

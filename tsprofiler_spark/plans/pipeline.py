@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 
 from tsprofiler_spark.config import Settings
 from tsprofiler_spark.operators.ingest import (
+    derive_multi_series,
     derive_series,
     gap_fill,
     gap_fill_segmented,
@@ -39,6 +40,7 @@ def profile_pipeline(
     cache_chunks: bool = True,
     segment_turns: int | None = None,
     chunk_stage_dir: str | None = None,
+    metrics: tuple[str, ...] | None = None,
 ) -> dict[str, DataFrame]:
     """Return every intermediate stage keyed by name.
 
@@ -65,6 +67,15 @@ def profile_pipeline(
     """
     stages: dict[str, DataFrame] = {}
     t = transcripts
+
+    def _derive(df: DataFrame) -> DataFrame:
+        # ``metrics``: profile several derived metrics per turn (reference
+        # runs one TSInputMetric per CSV column) — stack() projection, every
+        # downstream stage already keys on (series, metric).
+        if metrics is not None:
+            return derive_multi_series(df, metrics)
+        return derive_series(df)
+
     if do_gap_fill:
         if segment_turns:
             t = gap_fill_segmented(
@@ -73,9 +84,9 @@ def profile_pipeline(
         else:
             t = gap_fill(transcripts, step_seconds=step_seconds)
         stages["gap_filled"] = t
-        series = gap_fill_series(derive_series(t))
+        series = gap_fill_series(_derive(t))
     else:
-        series = derive_series(t)
+        series = _derive(t)
     stages["series"] = series
     if segment_turns:
         bucketed = bucketize_segmented(
