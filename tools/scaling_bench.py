@@ -208,7 +208,11 @@ def main() -> None:
     hashes = {}
     for cores in (args.small, args.large):
         out = os.path.join(work, f"out{cores}")
-        print(f"[scaling] spark-submit --master local[{cores}] ...", file=sys.stderr)
+        label = (
+            f"local-cluster[{cores // 8},8,...]" if args.mode == "local-cluster"
+            else f"local[{cores}]"
+        )
+        print(f"[scaling] spark-submit --master {label} ...", file=sys.stderr)
         results[cores] = run_at(zpath, inp, out, cores, args.mode)
         hashes[cores] = tier_hashes(results[cores]["measured_store"])
         print(f"[scaling] local[{cores}]: {results[cores]['value']}s "

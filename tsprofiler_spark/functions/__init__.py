@@ -38,6 +38,52 @@ def closest_state_sql(value_expr: str, states: int, vmin: float, vmax: float) ->
     )
 
 
+def simple_boundaries(states: int, vmin: float, vmax: float) -> list[float]:
+    """The simple-discretizer's accumulated step boundaries, bit-exact.
+
+    Replicates the reference loop (utils/discretize.go:8-27):
+    ``stateStepValue += stateStepSize`` while ``stateStepValue < max`` — the
+    float-accumulation order is preserved, so each boundary is the exact
+    double the scalar kernel compares against.
+    """
+    step = float(vmax - vmin) / float(states)
+    out: list[float] = []
+    sv = float(vmin)
+    while sv < vmax:
+        out.append(sv)
+        sv += step
+    return out
+
+
+def simple_state(value: Column, states: int, vmin: float, vmax: float) -> Column:
+    """Smallest-state (simple) discretization as a pure SQL formula.
+
+    Mirrors utils/discretize.go:8-27: returned state = (# accumulated
+    boundaries <= value) - 1, i.e. -1 below ``min`` and K-1 at/above the
+    last boundary. Boundaries are embedded as exact double literals from
+    :func:`simple_boundaries`, so Spark and DuckDB evaluate the identical
+    comparisons.
+    """
+    bounds = simple_boundaries(states, vmin, vmax)
+    if not bounds:
+        return F.lit(0 if (vmin == 0 and vmax == 0) else -1)
+    acc: Column = F.lit(-1)
+    for b in bounds:
+        acc = acc + (value >= F.lit(b)).cast("int")
+    return acc.cast("int")
+
+
+def simple_state_sql(value_expr: str, states: int, vmin: float, vmax: float) -> str:
+    """The same simple-discretize formula as ANSI SQL text."""
+    bounds = simple_boundaries(states, vmin, vmax)
+    if not bounds:
+        return str(0 if (vmin == 0 and vmax == 0) else -1)
+    terms = " + ".join(
+        f"CAST(({value_expr}) >= {b!r} AS INT)" for b in bounds
+    )
+    return f"CAST(-1 + {terms} AS INT)"
+
+
 def series_key_cols() -> list[str]:
     """The series key: one profiled series per (conv_id, tool, role)."""
     return ["conv_id", "tool", "role"]

@@ -205,6 +205,132 @@ def transition_probs(counts: DataFrame, settings: Settings) -> DataFrame:
     )
 
 
+def txmatrix_corpus_probs(
+    counts: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Aggregate per-series transition counts into corpus-level txmatrices
+    keyed by ``keys`` and normalize to the reference's integer percents
+    (utils/txprobabilities.go:7-31): ``prob_pct = go_round(100*cnt/row_sum)``.
+
+    One shuffle (groupBy on keys+ident+next_state, map-side combined);
+    the row-sum window repartitions nothing extra because it shares the
+    grouping prefix. Input is any ``transition_counts`` output.
+    """
+    agg = counts.groupBy(*keys, "ident", "next_state").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w_row = Window.partitionBy(*keys, "ident")
+    return agg.select(
+        *keys,
+        "ident",
+        "next_state",
+        "cnt",
+        go_round_nonneg(F.lit(100.0) * F.col("cnt") / F.sum("cnt").over(w_row))
+        .cast("int")
+        .alias("prob_pct"),
+    )
+
+
+def _txmatrix_dense_cells(
+    probs_a: DataFrame, probs_b: DataFrame, settings: Settings, keys: list[str]
+) -> DataFrame:
+    """Local-side dense cells with remote match info, the shared shape under
+    txmatrix diff/merge.
+
+    Reference semantics (models/txmatrix.go): both walk the LOCAL matrix's
+    idents only, over the full S-length nextProbs row (zeros included);
+    the remote side contributes only where the same ident exists. Relational
+    form: local idents x states(0..S-1) spine, left-joined to both sides'
+    sparse cells. Columns: keys + ident, next_state, p (local pct),
+    matched (remote has ident), q (remote pct, 0 when absent).
+    """
+    jk = [*keys, "ident"]
+    spine = (
+        probs_a.select(*jk)
+        .distinct()
+        .withColumn(
+            "next_state",
+            F.explode(F.sequence(F.lit(0), F.lit(settings.states - 1))),
+        )
+    )
+    a_cells = probs_a.select(*jk, "next_state", F.col("prob_pct").alias("_p"))
+    b_cells = probs_b.select(*jk, "next_state", F.col("prob_pct").alias("_q"))
+    b_idents = probs_b.select(*jk).distinct().withColumn("_matched", F.lit(True))
+    return (
+        spine.join(a_cells, [*jk, "next_state"], "left")
+        .join(b_idents, jk, "left")
+        .join(b_cells, [*jk, "next_state"], "left")
+        .select(
+            *jk,
+            "next_state",
+            F.coalesce(F.col("_p"), F.lit(0)).alias("p"),
+            F.coalesce(F.col("_matched"), F.lit(False)).alias("matched"),
+            F.coalesce(F.col("_q"), F.lit(0)).alias("q"),
+        )
+    )
+
+
+def txmatrix_diff(
+    probs_a: DataFrame, probs_b: DataFrame, settings: Settings, keys: list[str]
+) -> DataFrame:
+    """Distributed TxMatrix similarity diff (reference: models/txmatrix.go:16-43).
+
+    ``ratio = 1 - sum(diffs)/sum(counter)`` over the LOCAL side's idents:
+    matched cells contribute ``|p-q|`` to diffs and ``p+q`` to counter,
+    remote-missing idents count as full diff (``p`` to both). The
+    reference clamps each cell diff to the *running* counter, but that
+    clamp is provably dead: at the compare point counter has already
+    absorbed this cell's ``p+q >= |p-q|``, so the relational form is
+    order-independent. All sums are exact integers (int percents); the
+    single final division + half-away-from-zero x1000 rounding is identical
+    across engines. Returns one row per key: ``diff_milli`` int in [0,1000].
+
+    Scale shape: the dense spine is |local idents| x S rows — linear in the
+    profile size, never in the corpus; one groupBy(keys) reduction.
+    """
+    cells = _txmatrix_dense_cells(probs_a, probs_b, settings, keys)
+    diffs = F.sum(
+        F.when(F.col("matched"), F.abs(F.col("p") - F.col("q"))).otherwise(
+            F.col("p")
+        )
+    )
+    counter = F.sum(
+        F.col("p") + F.when(F.col("matched"), F.col("q")).otherwise(F.lit(0))
+    )
+    return cells.groupBy(*keys).agg(
+        go_round_nonneg(
+            F.lit(1000.0) * (F.lit(1.0) - diffs / counter)
+        )
+        .cast("int")
+        .alias("diff_milli")
+    )
+
+
+def txmatrix_merge(
+    probs_a: DataFrame, probs_b: DataFrame, settings: Settings, keys: list[str]
+) -> DataFrame:
+    """Distributed TxMatrix average-merge (reference: models/txmatrix.go:46-59).
+
+    Per-index integer-percent average, half-away-from-zero rounded, over the
+    LOCAL side's idents only — remote-only idents are dropped (asymmetric by
+    design: the reference iterates the stored side). ``(p+q)/2`` of two ints
+    is an exact double (.0/.5), so rounding is engine-independent. Returns
+    dense cells: keys + ident, next_state, merged_pct.
+    """
+    cells = _txmatrix_dense_cells(probs_a, probs_b, settings, keys)
+    return cells.select(
+        *keys,
+        "ident",
+        "next_state",
+        F.when(
+            F.col("matched"),
+            go_round_nonneg((F.col("p") + F.col("q")) / F.lit(2.0)).cast("int"),
+        )
+        .otherwise(F.col("p"))
+        .alias("merged_pct"),
+    )
+
+
 def series_stats(chunks: DataFrame, settings: Settings) -> DataFrame:
     """Global per-(series, metric) running stats (reference: counter.go:148-156).
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsprofiler_spark.config import Settings
-from tsprofiler_spark.functions import closest_state_sql
+from tsprofiler_spark.functions import closest_state_sql, simple_state, simple_state_sql
 from tsprofiler_spark.operators.ingest import derive_series, gap_fill, gap_fill_series
 from tsprofiler_spark.operators.profile import (
     bucketize,
@@ -25,6 +25,9 @@ from tsprofiler_spark.operators.profile import (
     series_stats,
     transition_counts,
     transition_probs,
+    txmatrix_corpus_probs,
+    txmatrix_diff,
+    txmatrix_merge,
     with_state,
 )
 from tsprofiler_spark.operators.rollup import (
@@ -545,4 +548,130 @@ SELECT {SERIES}, metric, bucket_start, n, s1
 FROM tier, wm
 WHERE bucket_start >= w - INTERVAL 7 DAYS
 """.strip(),
+)
+
+# --- q: simple_states (A8) ---------------------------------------------------
+# The reference's second discretizer over the same chunk averages. Boundaries
+# are exact double literals shared by both engines (functions.simple_boundaries
+# replicates the reference's float step accumulation, utils/discretize.go:8-27).
+
+def q_simple_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _states_df(spark, sf_dir).select(
+        "conv_id", "tool", "role", "metric", "bucket_idx",
+        simple_state(
+            F.col("chunk_avg"), SETTINGS.states, SETTINGS.fixed_min, SETTINGS.fixed_max
+        ).alias("simple_state"),
+    )
+
+
+_register(
+    "simple_states",
+    q_simple_states,
+    _q(
+        f"""
+SELECT {SERIES}, metric, bucket_idx,
+       {simple_state_sql('chunk_avg', SETTINGS.states, SETTINGS.fixed_min, SETTINGS.fixed_max)} AS simple_state
+FROM states
+""".strip()
+    ),
+)
+
+# --- q: txmatrix_diff / txmatrix_merge (A17/A18) -----------------------------
+# Distributed profile compare/merge: split the corpus into two halves by the
+# conv_id's last digit, build corpus-level txmatrices per (tool, role, metric)
+# for each half, then diff/merge half-A against half-B with the reference's
+# integer-percent semantics (models/txmatrix.go; clamp-to-running-counter is
+# provably dead — see operators.profile.txmatrix_diff). All intermediate sums
+# are exact integers, so both engines agree bit-for-bit.
+
+_TXKEYS = ["tool", "role", "metric"]
+_HALF_SQL = "CAST(right(conv_id, 1) AS INT) % 2"
+
+# the oracle body CONTINUES the _CTE_SERIES chain (starts with ", cte AS (")
+_TX_HALF_CTES = f"""
+, half_counts AS (
+  SELECT {_HALF_SQL} AS half, tool, role, metric, ident, next_state,
+         SUM(cnt) AS cnt
+  FROM tx_counts
+  GROUP BY {_HALF_SQL}, tool, role, metric, ident, next_state
+),
+half_probs AS (
+  SELECT half, tool, role, metric, ident, next_state,
+         CAST(FLOOR(100.0 * cnt / SUM(cnt) OVER (
+             PARTITION BY half, tool, role, metric, ident) + 0.5) AS INT) AS prob_pct
+  FROM half_counts
+),
+a_idents AS (SELECT DISTINCT tool, role, metric, ident FROM half_probs WHERE half = 0),
+b_idents AS (SELECT DISTINCT tool, role, metric, ident FROM half_probs WHERE half = 1),
+spine AS (
+  SELECT a.tool, a.role, a.metric, a.ident, s.next_state
+  FROM a_idents a
+  CROSS JOIN (SELECT unnest(generate_series(0, {SETTINGS.states - 1})) AS next_state) s
+),
+cells AS (
+  SELECT sp.tool, sp.role, sp.metric, sp.ident, sp.next_state,
+         COALESCE(pa.prob_pct, 0) AS p,
+         (b.ident IS NOT NULL) AS matched,
+         COALESCE(pb.prob_pct, 0) AS q
+  FROM spine sp
+  LEFT JOIN half_probs pa ON pa.half = 0 AND pa.tool = sp.tool
+       AND pa.role = sp.role AND pa.metric = sp.metric
+       AND pa.ident = sp.ident AND pa.next_state = sp.next_state
+  LEFT JOIN b_idents b ON b.tool = sp.tool AND b.role = sp.role
+       AND b.metric = sp.metric AND b.ident = sp.ident
+  LEFT JOIN half_probs pb ON pb.half = 1 AND pb.tool = sp.tool
+       AND pb.role = sp.role AND pb.metric = sp.metric
+       AND pb.ident = sp.ident AND pb.next_state = sp.next_state
+)
+""".strip()
+
+
+def _half_probs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    counts = transition_counts(_states_df(spark, sf_dir), SETTINGS)
+    half = F.expr(_HALF_SQL)
+    a = txmatrix_corpus_probs(counts.where(half == 0), _TXKEYS)
+    b = txmatrix_corpus_probs(counts.where(half == 1), _TXKEYS)
+    return a, b
+
+
+def q_txmatrix_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _half_probs(spark, sf_dir)
+    return txmatrix_diff(a, b, SETTINGS, _TXKEYS).select(
+        "tool", "role", "metric", "diff_milli"
+    )
+
+
+_register(
+    "txmatrix_diff",
+    q_txmatrix_diff,
+    _q(
+        _TX_HALF_CTES
+        + """
+SELECT tool, role, metric,
+  CAST(FLOOR(1000.0 * (1.0 - SUM(CASE WHEN matched THEN ABS(p - q) ELSE p END)
+       / SUM(p + CASE WHEN matched THEN q ELSE 0 END)) + 0.5) AS INT) AS diff_milli
+FROM cells GROUP BY tool, role, metric
+""".rstrip()
+    ),
+)
+
+
+def q_txmatrix_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _half_probs(spark, sf_dir)
+    return txmatrix_merge(a, b, SETTINGS, _TXKEYS).select(
+        "tool", "role", "metric", "ident", "next_state", "merged_pct"
+    )
+
+
+_register(
+    "txmatrix_merge",
+    q_txmatrix_merge,
+    _q(
+        _TX_HALF_CTES
+        + """
+SELECT tool, role, metric, ident, next_state,
+  CASE WHEN matched THEN CAST(FLOOR((p + q) / 2.0 + 0.5) AS INT) ELSE p END AS merged_pct
+FROM cells
+""".rstrip()
+    ),
 )
