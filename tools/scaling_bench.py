@@ -114,7 +114,14 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = 
     else:
         cmd += ["--input", inp, "--output", out]
     t0 = time.perf_counter()
-    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    # glibc reads malloc tunables at process start: export to the submit
+    # process so driver-side numpy/pandas also avoids mmap/munmap re-fault
+    # churn (executors get it via spark.executorEnv in session.get_spark)
+    from tsprofiler_spark.session import _MALLOC_ENV
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, **_MALLOC_ENV},
+    )
     wall = time.perf_counter() - t0
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:])

@@ -15,6 +15,21 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# glibc malloc tuning for the Arrow/numpy hot path (codec encode, pandas
+# UDFs): by default glibc serves >128 KB allocations with mmap and returns
+# them with munmap on free, so every Arrow batch re-faults (and re-zeroes)
+# its temporaries from the kernel — measured 10-100x slower than in-place
+# compute on hosts where page provisioning is expensive (virtualized /
+# memory-overcommitted machines). Raising the mmap threshold keeps these
+# buffers on the heap free-list, so steady-state batches reuse warm pages.
+# Applied to the driver (local-mode Python workers fork from it) and
+# exported to executors via spark.executorEnv for cluster masters.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": os.environ.get(
+        "TSPROFILER_MALLOC_MMAP_THRESHOLD", str(512 * 1024 * 1024)
+    ),
+}
+
 
 def get_spark(
     app_name: str = "tsprofiler-spark",
@@ -33,6 +48,8 @@ def get_spark(
     ``cores`` then only sizes shuffle partitions / default parallelism.
     """
     cores = cores or DEFAULT_CPUS
+    for var, val in _MALLOC_ENV.items():
+        os.environ.setdefault(var, val)
     # 4 shuffle tasks per slot: with exactly one wave (partitions == slots)
     # a single straggler extends the whole stage; 4 waves give the scheduler
     # room to rebalance, and AQE coalesces when partitions come out tiny
@@ -56,6 +73,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
+    for var, val in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{var}", val)
     if warehouse:
         builder = builder.config("spark.sql.warehouse.dir", warehouse)
 
