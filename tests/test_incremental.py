@@ -126,3 +126,43 @@ def test_crash_before_commit_then_replay(spark, transcripts, tmp_path):
     for tier in ("1m", "1h", "1d"):
         assert _tier_rows(store, tier) == _tier_rows(ref, tier), tier
     assert len(store.manifest.runs) == 1
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, transcripts, tmp_path):
+    """compact_tier: value-identical day rewrite into the size-ideal file
+    count, atomic pointer swap, superseded version GC'd, replay a no-op."""
+    store = RollupStore(spark, str(tmp_path / "c"))
+    incremental_run(transcripts, store, SETTINGS, expire=False)
+    before = _tier_rows(store, "1m")
+    day0, ver0 = sorted(store.manifest.tiers["1m"].items())[0]
+    files_before = len(store._day_files("1m", day0, ver0))
+    assert files_before > 1  # MERGE writes ~shuffle.partitions files per day
+
+    lineage = store.compact_tier("1m", "compact-1", target_bytes=1 << 30)
+    assert lineage and all(l["compacted_to_files"] == 1 for l in lineage)
+    day_new, ver_new = sorted(store.manifest.tiers["1m"].items())[0]
+    assert (day_new, ver_new) == (day0, "compact-1")
+    assert len(store._day_files("1m", day0, "compact-1")) == 1
+    assert not os.path.isdir(store._day_dir("1m", day0, ver0))  # old GC'd
+    assert _tier_rows(store, "1m") == before  # byte-identical data
+
+    # replayed maintenance run is a committed no-op
+    assert store.compact_tier("1m", "compact-1", target_bytes=1 << 30) == []
+    # already-ideal days are skipped by the size heuristic
+    assert store.compact_tier("1m", "compact-2", target_bytes=1 << 30) == []
+
+
+def test_read_tier_day_range_prunes_paths(spark, transcripts, tmp_path):
+    """read_tier(start_day, end_day) prunes at the path level: the plan's
+    file index holds only the requested days."""
+    store = RollupStore(spark, str(tmp_path / "p"))
+    incremental_run(transcripts, store, SETTINGS, expire=False)
+    days = sorted(store.manifest.tiers["1m"])
+    assert len(days) >= 2, "fixture must span multiple days"
+    one = store.read_tier("1m", start_day=days[0], end_day=days[0])
+    assert one.select("day").distinct().collect()[0][0] == days[0]
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert f"day={days[1]}" not in plan
+    full = store.read_tier("1m")
+    assert one.count() < full.count()
+    assert store.read_tier("1m", start_day="2999-01-01") is None

@@ -54,6 +54,26 @@ def test_profile_pipeline_single_shuffle_per_branch(spark, transcripts_path):
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
 
 
+def test_tiers_bootstrap_single_exchange(spark, transcripts_path):
+    """The finest-tier stage shuffles the raw series exactly ONCE: the
+    explicit series-key repartition in merge_transcript_batch satisfies the
+    1m groupBy's clustering (subset of its keys), so EnsureRequirements
+    inserts no aggregation exchange, and merge_tiers(distribute=False)
+    writes straight from the aggregation output. Pinned so a refactor can't
+    silently reintroduce the second full-size shuffle."""
+    from tsprofiler_spark.operators.ingest import SERIES_COLS, derive_series
+    from tsprofiler_spark.plans.retention import _tier_partials
+
+    t = spark.read.parquet(transcripts_path)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    series = derive_series(t).repartition(n, *SERIES_COLS)
+    finest = _tier_partials(series, "1m").withColumn(
+        "day", F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
+    )
+    plan = _plan(finest)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_registered_queries_have_no_cartesian_or_python_rows(spark):
     """Every profiler-family driver query plans without cartesian products
     or per-row Python; pandas/Arrow nodes are allowed only in the parity/

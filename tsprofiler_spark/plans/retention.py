@@ -84,6 +84,27 @@ def merge_transcript_batch(
     if affected is None:
         affected = transcripts.agg(touched_days()).collect()[0][0]
     series = derive_series(transcripts)
+    # ONE exchange for the whole finest-tier stage: hash-distribute the raw
+    # series rows by the series key ONCE. The 1m groupBy clusters on a
+    # SUPERSET of (series cols), so hash partitioning on the subset already
+    # satisfies its required distribution (EnsureRequirements inserts no
+    # second exchange), and the staged write below runs straight from the
+    # aggregation output (merge_tiers distribute=False). The previous shape
+    # shuffled the same ~raw-sized row count twice — partials aggregation,
+    # then a write repartition — and at minute granularity the map-side
+    # combine saved almost nothing (every turn is its own bucket), so this
+    # halves the stage's exchange volume outright. Bonus: staged files are
+    # conversation-colocated, which is what lets the 1h cascade's map-side
+    # combine collapse 60:1 before its (tiny) shuffle.
+    #
+    # Skew note: one task now owns a whole conversation-series — the same
+    # per-conv concentration every gap-fill/bucketize window in the engine
+    # already has; for pathological single-hot-series corpora the segmented
+    # variants (operators/ingest.py gap_fill_segmented, bucketize_segmented)
+    # are the documented salting fallback.
+    spark = transcripts.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    series = series.repartition(n_shuffle, *SERIES_COLS)
     # Two-step staging, ZERO large executor-memory caches: the finest (1m)
     # partials go raw-scan -> groupBy -> staged parquet in one write job,
     # then the 1h/1d cascades read that STAGED PARQUET back (columnar,
@@ -92,7 +113,9 @@ def merge_transcript_batch(
     # rows in the executor heap instead measurably throttles the N-executor
     # configuration (spill + GC) without saving any scan of the raw data.
     finest = _tier_partials(series, "1m")
-    lineage, pointers = store.merge_tiers({"1m": finest}, run_id, affected=affected)
+    lineage, pointers = store.merge_tiers(
+        {"1m": finest}, run_id, affected=affected, distribute=False
+    )
     staged_1m = store.read_versions("1m", pointers["1m"])
     # 1d cascades from the 1h partials (not from 1m): sums/min/max compose,
     # and the 1h->1d re-aggregation reads 60x fewer rows. The 1h partials

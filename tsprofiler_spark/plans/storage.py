@@ -131,9 +131,27 @@ class RollupStore:
             "day", F.date_format(F.col("day"), "yyyy-MM-dd")
         )
 
-    def read_tier(self, tier: str) -> DataFrame | None:
-        """Committed snapshot of a tier (only manifest-pointed versions)."""
+    def read_tier(
+        self,
+        tier: str,
+        start_day: str | None = None,
+        end_day: str | None = None,
+    ) -> DataFrame | None:
+        """Committed snapshot of a tier (only manifest-pointed versions).
+
+        ``start_day``/``end_day`` (inclusive ``yyyy-MM-dd`` bounds) prune at
+        the PATH level: days outside the range are never listed, let alone
+        scanned — the manifest is the partition index, so a time-range query
+        over years of tiers opens only the requested days' files (the
+        Iceberg-manifest analogue of partition pruning)."""
         pointers = self.manifest.tiers.get(tier)
+        if pointers and (start_day or end_day):
+            pointers = {
+                d: v
+                for d, v in pointers.items()
+                if (start_day is None or d >= start_day)
+                and (end_day is None or d <= end_day)
+            }
         if not pointers:
             return None
         return self.read_versions(tier, pointers)
@@ -185,6 +203,7 @@ class RollupStore:
         run_id: str,
         affected: list[str] | None = None,
         replace: bool = False,
+        distribute: bool = True,
     ) -> tuple[list[dict], dict[str, dict[str, str]]]:
         """Stage the MERGE of EVERY tier's partials as new day versions in
         ONE write job (NOT yet visible — the caller publishes atomically via
@@ -226,16 +245,28 @@ class RollupStore:
         # — a fraction of a deserialized JVM cache, and what an Iceberg
         # MERGE produces anyway). Row counts for lineage/validation come
         # from a cheap metadata-ish count over the staged files afterwards.
-        # Repartition by (tier, day, conv_id-hash) — NOT by partition dirs
-        # alone: one shuffle partition per (tier, day) would serialize the
-        # write to #dirs tasks and leave one giant file per partition,
-        # strangling downstream scan parallelism. Multiple files per dir is
-        # fine (and matches how an Iceberg MERGE distributes its writes).
+        #
+        # ``distribute=True``: repartition by (tier, day, conv_id-hash) — NOT
+        # by partition dirs alone: one shuffle partition per (tier, day)
+        # would serialize the write to #dirs tasks and leave one giant file
+        # per partition, strangling downstream scan parallelism. Multiple
+        # files per dir is fine (and matches how an Iceberg MERGE
+        # distributes its writes).
+        #
+        # ``distribute=False``: the caller guarantees the partials are
+        # already hash-distributed across ~shuffle.partitions tasks (e.g.
+        # retention pre-partitions the raw series by the series key, which
+        # the 1m groupBy then reuses) — writing directly saves a FULL
+        # second shuffle of the merged tier, the single largest exchange in
+        # the job at finest-tier scale. Each task then writes one file per
+        # (tier, day) dir it holds rows for; with the series-key layout a
+        # conversation's rows stay colocated in one file, which is exactly
+        # what lets the 1h/1d cascade's map-side combine collapse 60:1.
         staging = os.path.join(self.base, f"_staging-{run_id}")
-        n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        merged.repartition(n_out, "tier", "day", "conv_id").write.partitionBy(
-            "tier", "day"
-        ).mode("overwrite").parquet(staging)
+        if distribute:
+            n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            merged = merged.repartition(n_out, "tier", "day", "conv_id")
+        merged.write.partitionBy("tier", "day").mode("overwrite").parquet(staging)
         back = self.spark.read.parquet(staging)
         per_key = {
             (r.tier, r.day): r.rows
@@ -331,3 +362,78 @@ class RollupStore:
                 os.path.join(self._tier_path(tier), f"day={day}"), ignore_errors=True
             )
         return dropped
+
+    def _day_files(self, tier: str, day: str, version: str) -> list[str]:
+        d = self._day_dir(tier, day, version)
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    def compact_tier(
+        self,
+        tier: str,
+        run_id: str,
+        target_bytes: int = 128 << 20,
+        slack: float = 1.5,
+    ) -> list[dict]:
+        """Small-file compaction of committed day partitions (the Iceberg
+        ``rewrite_data_files`` maintenance action).
+
+        Every incremental MERGE writes ~shuffle.partitions files per
+        affected (tier, day) — right for write parallelism, but a
+        low-volume day then carries hundreds of KB-sized files whose
+        open/footer cost dominates reads at 100 TB. For each committed day
+        whose file count exceeds ``slack ×`` the ideal
+        ``ceil(bytes / target_bytes)``, this rewrites that day into the
+        ideal file count and swaps the manifest pointer atomically —
+        readers never see a half-compacted day, and a crashed compaction
+        leaves only an invisible staged version (same write-then-swap
+        contract as MERGE; an already-committed ``run_id`` is a no-op, so
+        replays are safe). Data is byte-identical by construction: the
+        rewrite is a repartition of the same rows, no re-aggregation.
+
+        One Spark job per compacted day, driver-looped: compaction is a
+        background maintenance pass over the few days the size heuristic
+        selects, not a data-path stage (on a real cluster the same policy
+        runs as Iceberg's rewrite_data_files with commit conflicts handled
+        by the table format). Returns lineage rows for the compacted days.
+        """
+        if self.manifest.has_run(run_id):
+            return []
+        pointers = self.manifest.tiers.get(tier, {})
+        plan: list[tuple[str, str, int]] = []  # (day, old_version, n_target)
+        for day, ver in sorted(pointers.items()):
+            files = self._day_files(tier, day, ver)
+            size = sum(os.path.getsize(f) for f in files)
+            want = max(1, -(-size // target_bytes))
+            if len(files) > slack * want:
+                plan.append((day, ver, int(want)))
+        if not plan:
+            return []
+        lineage = []
+        new_pointers: dict[str, str] = {}
+        staging = os.path.join(self.base, f"_staging-{run_id}")
+        for day, ver, want in plan:
+            df = self.read_versions(tier, {day: ver}).drop("day")
+            stage_day = os.path.join(staging, f"day={day}")
+            df.repartition(want).write.mode("overwrite").parquet(stage_day)
+            rows = self.spark.read.parquet(stage_day).count()
+            dst = self._day_dir(tier, day, run_id)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(stage_day, dst)
+            new_pointers[day] = run_id
+            size = sum(os.path.getsize(f) for f in self._day_files(tier, day, run_id))
+            lineage.append(
+                {"tier": tier, "day": day, "rows": rows, "bytes": size,
+                 "compacted_to_files": want}
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        self.commit_run(
+            run_id, self.manifest.watermark, lineage, {tier: new_pointers}
+        )
+        return lineage
