@@ -157,3 +157,59 @@ if HAVE_HYPOTHESIS:
         for seg, blob in zip(segs, blobs):
             assert blob == dod_encode(seg)
             np.testing.assert_array_equal(seg, dod_decode(blob))
+
+
+def test_colocated_compress_matches_shuffle_compress(spark, tmp_path):
+    """compress_points_colocated over a store-written tier must emit
+    blob-identical segments to the generic groupBy path (the store layout
+    guarantees segment contiguity + time order, so both encode the same
+    sorted arrays), decompress back to the tier points, and produce exactly
+    one blob per segment key."""
+    from pyspark.sql import functions as F
+
+    from tsprofiler_spark.config import Settings
+    from tsprofiler_spark.operators.compress import (
+        compress_points,
+        compress_points_colocated,
+        decompress_points,
+    )
+    from tsprofiler_spark.plans.retention import incremental_run
+    from tsprofiler_spark.plans.storage import RollupStore
+    from tsprofiler_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=12, max_turns=300, seed=9,
+                               step_seconds=600)
+    store = RollupStore(spark, str(tmp_path / "s"))
+    incremental_run(t, store, Settings(fix_bound=True, fixed_min=0.0,
+                                       fixed_max=128.0, states=6),
+                    expire=False)
+    points = store.read_tier("1m").select(
+        "conv_id", "tool", "role", "metric", F.lit("1m").alias("tier"),
+        "bucket_start", (F.col("s1") / F.col("n")).alias("avg"),
+    )
+
+    def rows(df):
+        return sorted(
+            (r.conv_id, r.tool, r.role, r.metric, r.tier, str(r.seg_day),
+             r.n_points, bytes(r.ts_dod), bytes(r.points_gorilla))
+            for r in df.collect()
+        )
+
+    shuffled = rows(compress_points(points))
+    streamed_df = compress_points_colocated(points)
+    streamed = rows(streamed_df)
+    assert streamed == shuffled  # blob-identical, not just value-equal
+
+    # exactly one blob per segment (colocation precondition held)
+    keys = [r[:6] for r in streamed]
+    assert len(keys) == len(set(keys))
+
+    # round-trip identity through the streaming blobs
+    back = decompress_points(streamed_df)
+    a = sorted(map(tuple, points.select(
+        "conv_id", "tool", "role", "metric", "tier",
+        F.col("bucket_start").cast("string"), F.round("avg", 9)).collect()))
+    b = sorted(map(tuple, back.select(
+        "conv_id", "tool", "role", "metric", "tier",
+        F.col("bucket_start").cast("string"), F.round("avg", 9)).collect()))
+    assert a == b

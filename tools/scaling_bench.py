@@ -84,11 +84,20 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = 
     # shuffle/spill dir beside the store (tmpfs when available) — same
     # storage-scales-with-compute rationale as the work dir
     local_dir = os.path.join(os.path.dirname(out), f"sparklocal{cores}")
+    mem_conf = []
     if mode == "local-cluster":
         n_exec = max(cores // 8, 1)
         exec_mem_mb = int(os.environ.get("SPARK_EXEC_MEM_MB", "10240"))
         master = f"local-cluster[{n_exec},8,{exec_mem_mb}]"
         driver_mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+        # CRITICAL: the third local-cluster field is only the WORKER's
+        # allocatable pool — executor heap still comes from
+        # spark.executor.memory (default 1g!). Without this conf every
+        # executor runs a 1 GB heap regardless of the master string: stages
+        # spill constantly and the N-size configuration OOM-churns
+        # executors. Same memory PER CORE at both sizes (the scaling model:
+        # resources grow with the fleet).
+        mem_conf = ["--conf", f"spark.executor.memory={exec_mem_mb}m"]
     else:
         master = f"local[{cores}]"
         driver_mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
@@ -96,6 +105,7 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = 
         "spark-submit",
         "--master", master,
         "--driver-memory", driver_mem,
+        *mem_conf,
         "--conf", f"spark.local.dir={local_dir}",
         "--py-files", zpath,
         os.path.join(REPO, "tools", "run_pipeline.py"),

@@ -88,6 +88,80 @@ def compress_points(tier_df: DataFrame) -> DataFrame:
     return flat.mapInPandas(encode_batches, COMPRESSED_SCHEMA)
 
 
+def compress_points_colocated(points: DataFrame) -> DataFrame:
+    """Zero-shuffle twin of `compress_points` for store-colocated tiers.
+
+    `RollupStore.merge_tiers` writes every staged file segment-contiguous:
+    one file per (write task, tier, day) so a (series, metric, tier, day)
+    segment never crosses files, locally sorted by segment key +
+    bucket_start. Reading such a tier back therefore gives scan partitions
+    in which every segment's rows are CONTIGUOUS and time-ordered — the
+    groupBy + collect_list exchange in `compress_points` (a full shuffle of
+    every rolled point, the codec stage's only exchange) adds nothing. This
+    variant streams the Arrow batches of each scan partition, slices
+    segments at key-change boundaries (carrying a possibly-split tail
+    segment across batches — O(largest segment) memory), and emits the
+    byte-identical blobs: within a tier the segment key is unique per
+    bucket_start, so sorted-by-ts input yields exactly the arrays
+    `array_sort(collect_list(struct(ts, avg)))` produces.
+
+    Preconditions (both guaranteed by the store layout, pinned in tests):
+    * equal segment keys are contiguous within a scan partition — holds
+      because files are internally sorted and no two files share a segment
+      (disjoint series hash ranges per writer task × one day per dir);
+    * no segment spans scan partitions — staged files are written well
+      under the parquet block size (one row group), and Spark assigns a
+      row group to exactly one split by its midpoint, so even a
+      maxPartitionBytes smaller than the file cannot tear one apart.
+    """
+
+    def encode_stream(batches):
+        import numpy as np
+
+        from tsprofiler_spark.codec.vectorized import (
+            dod_encode_many,
+            gorilla_encode_many,
+        )
+
+        key_cols = list(SEGMENT_KEY)
+        carry: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            ts = pdf["bucket_start"].to_numpy("datetime64[us]").astype("int64")
+            vals = pdf["avg"].to_numpy(np.float64)
+            key_codes = (
+                (pdf[key_cols] != pdf[key_cols].shift()).any(axis=1).cumsum()
+            )
+            lengths = key_codes.groupby(key_codes, sort=False).size().to_numpy(
+                np.int64
+            )
+            starts = np.zeros(len(lengths), np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            out = pdf.iloc[starts][key_cols].reset_index(drop=True)
+            out["n_points"] = lengths
+            out["ts_dod"] = dod_encode_many(ts, lengths)
+            out["points_gorilla"] = gorilla_encode_many(vals, lengths)
+            return out
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            # hold back the final segment: it may continue in the next batch
+            not_last = (pdf[key_cols] != pdf[key_cols].iloc[-1]).any(axis=1).to_numpy()
+            tail_start = int(not_last.nonzero()[0][-1]) + 1 if not_last.any() else 0
+            head, carry = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
+            if len(head):
+                yield emit(head)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    with_day = points.withColumn("seg_day", F.date_trunc("day", "bucket_start"))
+    cols = [*SEGMENT_KEY, "bucket_start", "avg"]
+    return with_day.select(*cols).mapInPandas(encode_stream, COMPRESSED_SCHEMA)
+
+
 DECOMPRESSED_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),

@@ -262,11 +262,39 @@ class RollupStore:
         # (tier, day) dir it holds rows for; with the series-key layout a
         # conversation's rows stay colocated in one file, which is exactly
         # what lets the 1h/1d cascade's map-side combine collapse 60:1.
+        # Sort within partitions by the full segment key + time. The dynamic
+        # partitionBy write needs a local sort on (tier, day) anyway (one
+        # open writer per dir); widening it to the series key and
+        # bucket_start costs the same single SortExec but makes every staged
+        # file SEGMENT-CONTIGUOUS and time-ordered — parquet delta/dict
+        # encoding compresses better, range scans read ordered data, and the
+        # codec can stream segments straight off the scan with no shuffle
+        # (operators/compress.py compress_points_colocated).
         staging = os.path.join(self.base, f"_staging-{run_id}")
         if distribute:
             n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             merged = merged.repartition(n_out, "tier", "day", "conv_id")
-        merged.write.partitionBy("tier", "day").mode("overwrite").parquet(staging)
+        merged = merged.sortWithinPartitions(
+            "tier", "day", *SERIES_COLS, "metric", "bucket_start"
+        )
+        # The planned-write optimizer (Spark 3.4+, on by default) requires
+        # ordering on `empty2null(<string partition col>)`, which never
+        # semantically matches a user sort on the raw column — so it layers
+        # its own UNSTABLE sort on (tier, day) over ours and scrambles the
+        # segment order inside every file. The legacy write path compares
+        # orderings on the attributes themselves, sees ours as a superset,
+        # and adds nothing. Scoped set/restore: writes are synchronous and
+        # this store is single-writer by contract (manifest commit).
+        planned = "spark.sql.optimizer.plannedWrite.enabled"
+        prev = self.spark.conf.get(planned, None)
+        self.spark.conf.set(planned, "false")
+        try:
+            merged.write.partitionBy("tier", "day").mode("overwrite").parquet(staging)
+        finally:
+            if prev is None:
+                self.spark.conf.unset(planned)
+            else:
+                self.spark.conf.set(planned, prev)
         back = self.spark.read.parquet(staging)
         per_key = {
             (r.tier, r.day): r.rows
