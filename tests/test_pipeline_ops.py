@@ -217,3 +217,25 @@ def test_derive_multi_series_alignment(spark, sf_dir):
     )
     assert misaligned.count() == 0
     multi.unpersist()
+
+
+def test_verify_candidates_confirms_planted_dups_and_reports_fps(docs):
+    """The LSH->exact-verify stage: planted exact dups verify at jaccard=1
+    (is_dup=1); every candidate row gets an exact score, and is_dup=0 rows
+    are precisely LSH banding's false positives (jaccard below threshold)."""
+    from tsprofiler_spark.operators.dedup import verify_candidates
+
+    cands = minhash_candidates(docs, k=12)
+    out = verify_candidates(docs, cands, n=3, threshold=0.5).collect()
+    assert len(out) == cands.count()  # one verdict per candidate
+    by_pair = {(r.doc_a, r.doc_b): r for r in out}
+    exact = [
+        (a, b) for (a, b) in by_pair
+        if a < 100000 and b == a + 100000  # planted byte-identical copies
+    ]
+    assert exact
+    for p in exact:
+        r = by_pair[p]
+        assert r.jaccard_u == 1000000 and r.is_dup == 1 and r.na == r.nb
+    for r in out:  # false positives are scored, not dropped
+        assert (r.jaccard_u >= 500000) == bool(r.is_dup)

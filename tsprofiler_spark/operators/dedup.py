@@ -220,6 +220,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_candidates(
+    documents: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs — the stage a real
+    dedup pipeline runs between `minhash_candidates` and keeper resolution.
+
+    Cost is proportional to |candidates| × shingles-per-doc, never all
+    pairs and never all shared-shingle pairs: the shingle table is
+    semi-joined down to candidate docs first, then intersections are
+    counted only on (shingle ⋈ shingle) rows that land inside a candidate
+    pair. At LSH's operating point candidates are a vanishing fraction of
+    the corpus, so both joins are small; the hot-shingle quadratic blowup
+    of the standalone shingle self-join (`ngram_jaccard_pairs`) cannot
+    happen because the pair set is fixed up front.
+
+    Emits (doc_a, doc_b, common, na, nb, jaccard_u, is_dup) for EVERY
+    candidate — the false positives LSH banding admits are exactly the rows
+    with is_dup = 0, which makes banding precision directly queryable.
+    """
+    sh = doc_shingles(documents, n)
+    docs_in_pairs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(docs_in_pairs), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        F.broadcast(pairs.alias("p"))
+        .join(a, F.col("a.doc_id") == F.col("p.doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("p.doc_b"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    joined = (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .na.fill({"common": 0})
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "common",
+        "na",
+        "nb",
+        F.floor(F.col("jaccard") * 1000000 + F.lit(0.5)).cast("long").alias("jaccard_u"),
+        (F.col("jaccard") >= threshold).cast("int").alias("is_dup"),
+    )
+
+
 def dedup_components(
     documents: DataFrame,
     pairs: DataFrame,

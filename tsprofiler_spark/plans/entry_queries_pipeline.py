@@ -117,6 +117,57 @@ FROM bands a JOIN bands b
 """.strip(),
 )
 
+# --- dedup_minhash_verified: the LSH candidates -> exact-Jaccard verify stage ------
+
+
+def _q_dedup_minhash_verified(spark, sf):
+    from tsprofiler_spark.operators.dedup import verify_candidates
+
+    docs = _docs(spark, sf)
+    cands = minhash_candidates(docs, k=12, rows_per_band=3)
+    return verify_candidates(docs, cands, n=3, threshold=0.5)
+
+
+_register(
+    "dedup_minhash_verified",
+    _q_dedup_minhash_verified,
+    f"""
+WITH {_SHINGLES_CTE},
+hs AS (
+  SELECT doc_id, j, {_H_SHINGLE} AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
+),
+sigs AS (SELECT doc_id, j, MIN(h) AS minhash FROM hs GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(j / 3) AS INT) AS band_id,
+         string_agg(CAST(minhash AS STRING), '-' ORDER BY j) AS band_hash
+  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / 3) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(sb.shingle) AS common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  LEFT JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b, cm.common, sa.n_sh AS na, sb.n_sh AS nb,
+  CAST(FLOOR((cm.common / (sa.n_sh + sb.n_sh - cm.common)) * 1000000 + 0.5) AS BIGINT)
+    AS jaccard_u,
+  CAST(cm.common / (sa.n_sh + sb.n_sh - cm.common) >= 0.5 AS INT) AS is_dup
+FROM cand c
+JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+""".strip(),
+)
+
+
 # --- dedup_components: connected-components keeper resolution ---------------------
 # The post-LSH step of a real dedup pipeline: group candidate pairs into
 # components, keep min doc_id per component. Spark runs iterative min-label
