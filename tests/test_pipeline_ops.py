@@ -239,3 +239,42 @@ def test_verify_candidates_confirms_planted_dups_and_reports_fps(docs):
         assert r.jaccard_u == 1000000 and r.is_dup == 1 and r.na == r.nb
     for r in out:  # false positives are scored, not dropped
         assert (r.jaccard_u >= 500000) == bool(r.is_dup)
+
+
+def test_text_chunks_windows_and_overlap(spark):
+    from tsprofiler_spark.operators.textops import text_chunks
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: [] for r in docs.collect()}
+    for r in text_chunks(docs, chunk_tokens=10, overlap=4).collect():
+        out[r.doc_id].append(r)
+    c1 = sorted(out[1], key=lambda r: r.chunk_idx)
+    assert [r.start_token for r in c1] == list(range(0, 100, 6))[: len(c1)]
+    assert c1[0].chunk_text.split(" ")[:2] == ["w0", "w1"]
+    # adjacent chunks share exactly `overlap` tokens
+    assert c1[0].chunk_text.split(" ")[6:] == c1[1].chunk_text.split(" ")[:4]
+    assert all(r.chunk_n_tokens == 10 for r in c1[:-1])
+    assert len(out[2]) == 1 and out[2][0].chunk_n_tokens == 2  # short: one chunk
+    assert len(out[3]) == 1  # empty text still yields its single token chunk
+
+
+def test_text_redact_masks_and_counts(spark):
+    from tsprofiler_spark.operators.textops import text_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and b@c.org, see https://x.y/z id 123456789"),
+            (2, "clean text 12345"),  # 5 digits: below the longnum threshold
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_redact(docs).collect()}
+    assert (rows[1].n_email, rows[1].n_url, rows[1].n_longnum) == (2, 1, 1)
+    assert (rows[2].n_email, rows[2].n_url, rows[2].n_longnum) == (0, 0, 0)
+    import hashlib
+    expect = "mail <EMAIL> and <EMAIL>, see <URL> id <LONGNUM>"
+    assert rows[1].redacted_md5 == hashlib.md5(expect.encode()).hexdigest()
+    assert rows[1].redacted_len == len(expect)

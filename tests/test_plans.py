@@ -54,6 +54,26 @@ def test_profile_pipeline_single_shuffle_per_branch(spark, transcripts_path):
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
 
 
+def test_gapfill_bucketize_shares_locf_sort(spark, transcripts_path):
+    """After gap-fill, ts is interpolated on the turn axis, so ordering by
+    turn_idx alone is row-identical to (ts, turn_idx) — and gives bucketize
+    the exact window spec of the LOCF value fill, so one whole-table sort
+    serves both. Pins rows-equal AND the sort-count saving."""
+    from tsprofiler_spark.operators.ingest import (
+        derive_series,
+        gap_fill,
+        gap_fill_series,
+    )
+    from tsprofiler_spark.operators.profile import bucketize
+
+    t = spark.read.parquet(transcripts_path)
+    series = gap_fill_series(derive_series(gap_fill(t)))
+    a = bucketize(series, 4)
+    b = bucketize(series, 4, order_cols=("turn_idx",))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert _plan(b).count("+- Sort ") == _plan(a).count("+- Sort ") - 1
+
+
 def test_tiers_bootstrap_single_exchange(spark, transcripts_path):
     """The finest-tier stage shuffles the raw series exactly ONCE: the
     explicit series-key repartition in merge_transcript_batch satisfies the

@@ -23,10 +23,23 @@ from tsprofiler_spark.functions import closest_state, go_round_nonneg
 from tsprofiler_spark.operators.ingest import SERIES_COLS
 
 
-def bucketize(series: DataFrame, buffer_size: int) -> DataFrame:
+def bucketize(
+    series: DataFrame,
+    buffer_size: int,
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+) -> DataFrame:
     """Assign chunk index: bucket_idx = floor(seq / B), seq = arrival order
-    (reference: chunk closes on input count, profiler.go:107)."""
-    w = Window.partitionBy(*SERIES_COLS, "metric").orderBy("ts", "turn_idx")
+    (reference: chunk closes on input count, profiler.go:107).
+
+    ``order_cols``: the arrival-order key. The default (ts, turn_idx) makes
+    no assumptions about the input. Callers that KNOW ts is monotone in
+    turn_idx per series — true by construction for gap-filled transcripts,
+    where filled ts is interpolated on the turn axis — pass ("turn_idx",):
+    the window spec then matches the LOCF value-fill window exactly, so the
+    sort done for that pass satisfies this one and Spark skips a second
+    whole-table sort (the plan-shape test pins the sort count).
+    """
+    w = Window.partitionBy(*SERIES_COLS, "metric").orderBy(*order_cols)
     return series.withColumn("seq", F.row_number().over(w) - 1).withColumn(
         "bucket_idx", (F.col("seq") / F.lit(buffer_size)).cast("long")
     )

@@ -170,3 +170,73 @@ def repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
         .cast("long")
         .alias("dup_ngram_ratio_u"),
     )
+
+
+def text_chunks(
+    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Sliding-window token chunking — the canonical training-data prep op:
+    split each document into ~``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap`` so adjacent chunks share ``overlap`` tokens.
+
+    Pure JVM generator projection: one split, one sequence-explode, one
+    slice per chunk — no shuffle at all (chunking is embarrassingly
+    row-parallel), no Python. Output rows: (doc_id, chunk_idx, start_token,
+    chunk_n_tokens, chunk_text). The final (possibly short) window is kept;
+    a document shorter than one window yields exactly one chunk.
+    """
+    assert 0 < overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    # window starts: 0, step, 2*step, ... while start < n (>=1 chunk always)
+    k_max = F.floor((F.greatest(n, F.lit(1)) - 1) / F.lit(step)).cast("int")
+    with_toks = documents.select("doc_id", toks.alias("toks"), n.alias("n"), k_max.alias("k_max"))
+    exploded = with_toks.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("k_max"))).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * F.lit(step)
+    piece = F.slice(F.col("toks"), start + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_token"),
+        F.size(piece).cast("int").alias("chunk_n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+# Redaction patterns shared verbatim by the Spark (Java regex) and DuckDB
+# (RE2) engines — kept to the common dialect subset (no lookarounds).
+REDACT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^ ]+",
+    "longnum": r"[0-9]{6,}",
+}
+
+
+def text_redact(documents: DataFrame) -> DataFrame:
+    """PII-style masking for training corpora: emails, URLs, and long digit
+    runs are replaced by typed placeholders, with per-document match counts
+    so filtering policy ("drop docs with >k contacts") stays queryable.
+
+    All JVM-side: regexp_count + chained regexp_replace, no shuffle, no
+    Python. Masking order is fixed (email -> url -> longnum) so the output
+    is deterministic; counts are measured on the ORIGINAL text.
+    """
+    red = F.col("text")
+    counts = []
+    for name, pat in REDACT_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col("text"), F.lit(pat)).cast("int").alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return documents.select(
+        "doc_id",
+        *counts,
+        F.length(red).cast("int").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )

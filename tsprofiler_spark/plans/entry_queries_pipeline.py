@@ -28,11 +28,14 @@ from tsprofiler_spark.operators.multimodal import (
 )
 from tsprofiler_spark.operators.similarity import ann_topk, brute_force_topk, lsh_buckets
 from tsprofiler_spark.operators.textops import (
+    REDACT_PATTERNS,
     STOPWORDS,
     doc_fingerprints,
     language_id,
     quality_scores,
     repetition_scores,
+    text_chunks,
+    text_redact,
     token_counts,
 )
 from tsprofiler_spark.sources.tables import load_table
@@ -377,6 +380,75 @@ SELECT m.doc_id,
 FROM mult m GROUP BY m.doc_id
 """.strip(),
 )
+
+_register(
+    "text_chunks",
+    lambda spark, sf: text_chunks(_docs(spark, sf), chunk_tokens=64, overlap=16),
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+e AS (
+  SELECT doc_id, toks, n,
+    unnest(generate_series(0, CAST(FLOOR((GREATEST(n, 1) - 1) / 48.0) AS BIGINT))) AS k
+  FROM s
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_idx, CAST(k * 48 AS INT) AS start_token,
+  CAST(len(list_slice(toks, k * 48 + 1, k * 48 + 64)) AS INT) AS chunk_n_tokens,
+  array_to_string(list_slice(toks, k * 48 + 1, k * 48 + 64), ' ') AS chunk_text
+FROM e
+""".strip(),
+)
+
+
+# text_redact: the synthetic corpus carries no natural PII, so the query
+# PLANTS deterministic contacts on every 10th doc with the same string
+# arithmetic in both engines — the full match-count + masked-hash pipeline
+# is then value-checked end-to-end, not just on zero-match rows.
+
+def _q_text_redact(spark, sf):
+    docs = _docs(spark, sf)
+    planted = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ref 1234567890"),
+        ),
+    ).otherwise(F.col("text"))
+    return text_redact(docs.withColumn("text", planted))
+
+
+_TEXT_REDACT_ORACLE = """
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0
+         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+              || ' ref 1234567890'
+         ELSE text END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+        '{url}', '<URL>', 'g'),
+      '{longnum}', '<LONGNUM>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{email}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{url}')) AS INT) AS n_url,
+  CAST(len(regexp_extract_all(text, '{longnum}')) AS INT) AS n_longnum,
+  CAST(length(redacted) AS INT) AS redacted_len,
+  md5(redacted) AS redacted_md5
+FROM red
+""".strip().format(**REDACT_PATTERNS)
+
+_register("text_redact", _q_text_redact, _TEXT_REDACT_ORACLE)
 
 _H_SH5 = h32_sql_duckdb("s")
 

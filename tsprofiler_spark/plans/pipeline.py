@@ -92,6 +92,12 @@ def profile_pipeline(
         bucketed = bucketize_segmented(
             series, settings.buffer_size, segment_turns=segment_turns
         )
+    elif do_gap_fill:
+        # gap-filled ts is interpolated on the turn axis, so per series
+        # (ts, turn_idx) order == turn_idx order — and ordering by turn_idx
+        # alone gives bucketize the SAME window spec as the LOCF value fill,
+        # eliminating one whole-table sort from the hot path.
+        bucketed = bucketize(series, settings.buffer_size, order_cols=("turn_idx",))
     else:
         bucketed = bucketize(series, settings.buffer_size)
     stages["bucketed"] = bucketed
