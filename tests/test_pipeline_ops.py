@@ -278,3 +278,29 @@ def test_text_redact_masks_and_counts(spark):
     expect = "mail <EMAIL> and <EMAIL>, see <URL> id <LONGNUM>"
     assert rows[1].redacted_md5 == hashlib.md5(expect.encode()).hexdigest()
     assert rows[1].redacted_len == len(expect)
+
+
+def test_pack_sequences_contiguous_layout(spark):
+    """Concatenate-and-cut packing: per shard, start offsets are the exact
+    running token sum in doc_id order, pack boundaries land every
+    budget_tokens, and every doc lands in the pack where it starts."""
+    from tsprofiler_spark.operators.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, budget_tokens=10, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.shard == r.doc_id % 4
+            assert r.start_offset == cum
+            assert r.pack_id == cum // 10
+            assert r.offset_in_pack == cum % 10
+            cum += r.n_tokens

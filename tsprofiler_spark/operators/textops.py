@@ -240,3 +240,40 @@ def text_redact(documents: DataFrame) -> DataFrame:
         F.length(red).cast("int").alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+def pack_sequences(
+    documents: DataFrame, budget_tokens: int = 2048, n_shards: int = 256
+) -> DataFrame:
+    """Concatenate-and-cut sequence packing (GPT-style pretraining prep):
+    documents are laid end-to-end in deterministic (shard, doc_id) order and
+    the token stream is cut every ``budget_tokens`` — each doc is assigned
+    to the pack where it STARTS (boundary docs straddle the cut, exactly
+    like block-packing a tokenized corpus; this is the streaming variant,
+    not NP-hard bin packing, and it is what makes the operator a pure
+    window expression instead of a sequential fold).
+
+    Scale shape: one window per shard (``doc_id % n_shards`` — uniform by
+    construction), so work per task is bounded and the operator adds ONE
+    exchange on shard. Emits (doc_id, shard, n_tokens, start_offset,
+    pack_id, offset_in_pack); downstream writers group by (shard, pack_id)
+    to materialize training rows.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    d = documents.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget_tokens)).cast("long").alias("pack_id"),
+        (start % F.lit(budget_tokens)).cast("long").alias("offset_in_pack"),
+    )

@@ -32,6 +32,7 @@ from tsprofiler_spark.operators.textops import (
     STOPWORDS,
     doc_fingerprints,
     language_id,
+    pack_sequences,
     quality_scores,
     repetition_scores,
     text_chunks,
@@ -449,6 +450,27 @@ FROM red
 """.strip().format(**REDACT_PATTERNS)
 
 _register("text_redact", _q_text_redact, _TEXT_REDACT_ORACLE)
+
+_register(
+    "text_pack_sequences",
+    lambda spark, sf: pack_sequences(_docs(spark, sf), budget_tokens=256, n_shards=8),
+    """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
+           AS start_offset
+  FROM d
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS pack_id,
+       CAST(start_offset % 256 AS BIGINT) AS offset_in_pack
+FROM c
+""".strip(),
+)
 
 _H_SH5 = h32_sql_duckdb("s")
 
