@@ -395,3 +395,57 @@ def embedding_near_dups(
     return pairs.where(F.col("cosine") >= threshold).select(
         "keep_id", "dup_id", F.round("cosine", 6).alias("cosine")
     )
+
+
+def synth_benchmark(
+    documents: DataFrame, every: int = 29, skip_words: int = 3, n_words: int = 10
+) -> DataFrame:
+    """Deterministic held-out "benchmark" set derived from the corpus: every
+    ``every``-th doc contributes one eval snippet (words ``skip_words+1 ..
+    skip_words+n_words`` of its text). Used by tests and the driver query to
+    get guaranteed planted contamination without external data; a real
+    deployment passes its own (bench_id, text) table to ``decontaminate``."""
+    words = F.split(F.lower("text"), " ")
+    return documents.where(F.col("doc_id") % every == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(words, skip_words + 1, n_words)).alias("text"),
+    )
+
+
+def decontaminate(documents: DataFrame, benchmark: DataFrame, n: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word ``n``-gram
+    with a held-out eval set (the standard 13-gram-overlap test-set leakage
+    check in LLM training pipelines, shortened to ``n`` for test corpora).
+
+    Plan shape for 100 TB: the benchmark side is tiny (eval sets are MBs),
+    so its shingle set is **broadcast** — the corpus is never shuffled for
+    the probe join; the only shuffle is the groupBy(doc_id) over *hit* rows
+    (a minuscule fraction of the corpus). The final left join attaching hit
+    counts back to per-doc shingle totals is computed from the same corpus
+    scan; no all-pairs work anywhere.
+
+    Returns one row per doc: (doc_id, n_shingles, n_hit_shingles,
+    n_bench_matches, contaminated).
+    """
+    doc_sh = doc_shingles(documents, n)
+    bench_sh = benchmark.select(
+        "bench_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle")
+    ).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_matches"),
+        )
+    )
+    base = documents.select(
+        "doc_id", F.size(_word_shingles(F.col("text"), n)).alias("n_shingles")
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        F.coalesce("n_hit_shingles", F.lit(0)).cast("int").alias("n_hit_shingles"),
+        F.coalesce("n_bench_matches", F.lit(0)).cast("int").alias("n_bench_matches"),
+        (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
+    )

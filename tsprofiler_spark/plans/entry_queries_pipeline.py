@@ -13,12 +13,15 @@ from pyspark.sql import functions as F
 
 from tsprofiler_spark.functions.hashing import h32_sql_duckdb
 from tsprofiler_spark.operators.dedup import (
+    decontaminate,
     dedup_exact,
     minhash_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    synth_benchmark,
 )
+from tsprofiler_spark.operators.sampling import hash_split, stratified_sample
 from tsprofiler_spark.operators.multimodal import (
     attach_payload,
     decode_features,
@@ -264,6 +267,79 @@ FROM common
 JOIN sizes sa ON sa.doc_id = common.doc_a
 JOIN sizes sb ON sb.doc_id = common.doc_b
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+""".strip(),
+)
+
+# --- decontamination -------------------------------------------------------------------
+
+# 5-gram list comprehension reused by both sides of the decontaminate oracle
+_FIVEGRAMS = (
+    "CASE WHEN len(ws) >= 5 THEN list_distinct("
+    "[ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] "
+    "for i in generate_series(1, len(ws) - 4)]) ELSE []::VARCHAR[] END"
+)
+
+_register(
+    "decontaminate",
+    lambda spark, sf: decontaminate(
+        _docs(spark, sf), synth_benchmark(_docs(spark, sf)), n=5
+    ),
+    f"""
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest({_FIVEGRAMS}) AS shingle FROM tok),
+bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(list_slice(string_split(lower(text), ' '), 4, 13), ' ') AS btext
+  FROM documents WHERE doc_id % 29 = 0
+),
+btok AS (SELECT bench_id, string_split(btext, ' ') AS ws FROM bench),
+bsh AS (
+  SELECT DISTINCT bench_id, shingle FROM (
+    SELECT bench_id, unnest({_FIVEGRAMS}) AS shingle FROM btok
+  )
+),
+hits AS (
+  SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_hit_shingles,
+         COUNT(DISTINCT b.bench_id) AS n_bench_matches
+  FROM sh s JOIN bsh b USING (shingle) GROUP BY s.doc_id
+),
+base AS (SELECT doc_id, len({_FIVEGRAMS}) AS n_shingles FROM tok)
+SELECT base.doc_id, CAST(n_shingles AS INT) AS n_shingles,
+  CAST(COALESCE(n_hit_shingles, 0) AS INT) AS n_hit_shingles,
+  CAST(COALESCE(n_bench_matches, 0) AS INT) AS n_bench_matches,
+  COALESCE(n_hit_shingles, 0) > 0 AS contaminated
+FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+""".strip(),
+)
+
+# --- deterministic sampling / splits ----------------------------------------------------
+
+_H_DOCID = h32_sql_duckdb("CAST(doc_id AS STRING)")
+
+_register(
+    "sample_hash_split",
+    lambda spark, sf: hash_split(_docs(spark, sf), train_pct=80, val_pct=10),
+    f"""
+SELECT doc_id, CAST(h % 100 AS INT) AS bucket,
+  CASE WHEN h % 100 < 80 THEN 'train'
+       WHEN h % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id, {_H_DOCID} AS h FROM documents)
+""".strip(),
+)
+
+_H_STRAT = h32_sql_duckdb("lang || ':' || CAST(doc_id AS STRING)")
+
+_register(
+    "sample_stratified",
+    lambda spark, sf: stratified_sample(
+        _docs(spark, sf), {"en": 0.35, "zh": 0.8}, default_fraction=0.6
+    ),
+    f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_H_STRAT} AS h FROM documents)
+WHERE h % 1000000 < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
+                    ELSE 600000 END
 """.strip(),
 )
 
