@@ -34,7 +34,9 @@ SYNTH_TURNS = int(os.environ.get("BENCH_TURNS", "450"))
 # observed 10x apart with the box otherwise idle). Run the whole suite
 # PASSES times and report the per-stage minimum — the same best-warm-pass
 # protocol tools/run_pipeline.py uses; all passes are kept in the JSON.
-PASSES = int(os.environ.get("BENCH_PASSES", "2"))
+# Three passes: pass 1 also absorbs first-use JIT of the docs/events
+# operator families, so at least two fully-warm observations feed the min.
+PASSES = int(os.environ.get("BENCH_PASSES", "3"))
 
 
 def main() -> None:
