@@ -58,3 +58,44 @@ def test_parity_plan_matches_direct_kernel(spark, fix_bound):
         assert got == expected, key
         assert spark_out[key].current_phase == prof.get_current_phase()
         assert json.loads(spark_out[key].period_path_json) == prof.get_current_period_path()
+
+
+def test_parity_duplicate_turn_rows_take_grouped_semantics(spark):
+    """Duplicate (ts, turn_idx) rows are grouped into ONE put() (one
+    reference TSInput), exactly like the documented multi-metric grouping —
+    the dense put_block fast path must not silently treat each duplicate as
+    its own turn (it shifts every later chunk boundary)."""
+    from pyspark.sql import functions as F
+
+    settings = Settings(
+        buffer_size=3, states=5, history=1,
+        fix_bound=True, fixed_min=0.0, fixed_max=128.0,
+    )
+    t = synthesize_transcripts(spark, n_convs=2, max_turns=40, seed=7)
+    series = derive_series(t)
+    # plant duplicates: re-emit every 10th row (same ts, turn_idx, metric)
+    dup = series.where(F.col("turn_idx") % 10 == 0)
+    with_dups = series.unionByName(dup)
+
+    spark_out = {
+        (r.conv_id, r.tool, r.role): r.profile_json
+        for r in parity_profiles(with_dups, settings).collect()
+    }
+
+    rows = with_dups.orderBy(
+        "conv_id", "tool", "role", "ts", "turn_idx", "metric"
+    ).collect()
+    direct: dict = {}
+    groups: dict = {}
+    for r in rows:
+        key = (r.conv_id, r.tool, r.role)
+        groups.setdefault(key, {}).setdefault((r.ts, r.turn_idx), []).append(
+            (r.metric, r.value)
+        )
+    for key, turns in groups.items():
+        prof = ReferenceProfiler(settings)
+        for turn_key in sorted(turns):
+            prof.put(turns[turn_key])
+        direct[key] = json.dumps(prof.get_profile(), sort_keys=True)
+
+    assert spark_out == direct

@@ -257,8 +257,19 @@ def test_text_chunks_windows_and_overlap(spark):
     # adjacent chunks share exactly `overlap` tokens
     assert c1[0].chunk_text.split(" ")[6:] == c1[1].chunk_text.split(" ")[:4]
     assert all(r.chunk_n_tokens == 10 for r in c1[:-1])
+    # tail covered with no fully-contained duplicate window: last start is
+    # ceil((100-10)/6)=15 -> 16 chunks, final window reaches token 100
+    assert len(c1) == 16 and c1[-1].start_token == 90
+    assert c1[-1].start_token + c1[-1].chunk_n_tokens == 100
     assert len(out[2]) == 1 and out[2][0].chunk_n_tokens == 2  # short: one chunk
     assert len(out[3]) == 1  # empty text still yields its single token chunk
+    # exact-fit doc: n == chunk_tokens must yield exactly ONE window (the
+    # old start-while-start<n rule emitted a duplicate tail chunk here)
+    exact = spark.createDataFrame(
+        [(4, " ".join(f"v{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    got = text_chunks(exact, chunk_tokens=10, overlap=4).collect()
+    assert len(got) == 1 and got[0].chunk_n_tokens == 10
 
 
 def test_text_redact_masks_and_counts(spark):
@@ -304,3 +315,23 @@ def test_pack_sequences_contiguous_layout(spark):
             assert r.pack_id == cum // 10
             assert r.offset_in_pack == cum % 10
             cum += r.n_tokens
+
+
+def test_dedup_components_raises_on_non_convergence(spark):
+    """Min-label propagation advances one hop per round: a chain longer
+    than max_iterations must fail loudly, not return split components."""
+    import pytest as _pytest
+
+    from tsprofiler_spark.operators.dedup import dedup_components
+
+    n = 8
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(nodes, chain, max_iterations=3)
+    # with enough rounds the same chain resolves to one keeper
+    out = {r.doc_id: r.keeper_id for r in
+           dedup_components(nodes, chain, max_iterations=n).collect()}
+    assert out == {i: 0 for i in range(n)}

@@ -247,3 +247,27 @@ def test_watermarked_windowed_rollup(spark, tmp_path):
     minutes = [b[:19] for b, *_ in got]
     assert f"{base + dt.timedelta(minutes=20):%Y-%m-%d %H:%M:%S}" not in minutes
     assert len(got) == 5  # buckets 0,1,2,9,10 (minute-0 rows share a bucket)
+
+
+def test_late_only_batch_never_lowers_watermark(spark, transcripts, tmp_path):
+    """A micro-batch of ONLY late rows (all ts below the committed
+    watermark) must re-MERGE its tiers but keep the high watermark — a
+    lowered watermark would make a later batch-incremental run on the same
+    store re-read and double-fold the (new_wm, old_wm] range."""
+    from pyspark.sql import functions as F
+
+    store = RollupStore(spark, str(tmp_path / "wm"))
+    process_microbatch(transcripts, 0, store)
+    wm_high = store.manifest.watermark
+    assert wm_high is not None
+
+    cutoff = transcripts.select(
+        F.min("ts").cast("string")
+    ).collect()[0][0]
+    late = transcripts.orderBy("ts").limit(40)  # strictly-early slice
+    assert late.agg(F.max("ts")).collect()[0][0].isoformat(sep=" ") < wm_high
+
+    res = process_microbatch(late, 1, store)
+    assert res != []  # late data DID merge
+    assert store.manifest.watermark == wm_high  # watermark never moved back
+    assert cutoff <= wm_high

@@ -82,8 +82,11 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = 
     local[cores] (thread-level evidence).
     """
     # shuffle/spill dir beside the store (tmpfs when available) — same
-    # storage-scales-with-compute rationale as the work dir
-    local_dir = os.path.join(os.path.dirname(out), f"sparklocal{cores}")
+    # storage-scales-with-compute rationale as the work dir. Probe mode has
+    # no store (out='' -> dirname ''): fall back to a temp dir rather than
+    # littering sparklocal* dirs in the invoking cwd (the repo).
+    base_dir = os.path.dirname(out) or tempfile.mkdtemp(prefix="scaling-probe-")
+    local_dir = os.path.join(base_dir, f"sparklocal{cores}")
     mem_conf = []
     if mode == "local-cluster":
         n_exec = max(cores // 8, 1)

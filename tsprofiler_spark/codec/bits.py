@@ -52,3 +52,39 @@ class BitReader:
             self.pos += take
             remaining -= take
         return out
+
+
+def clz64(x):
+    """Vectorized count-leading-zeros over uint64 (64 for zero inputs).
+
+    Shared by the scalar and batch Gorilla encoders — their bitstreams must
+    stay byte-identical, so there is exactly one bit-scan implementation.
+    """
+    import numpy as np
+
+    out = np.full(x.shape, 64, dtype=np.int64)
+    nz = x != 0
+    shifted = x[nz]
+    pos = np.zeros(shifted.shape, dtype=np.int64)
+    for width in (32, 16, 8, 4, 2, 1):
+        mask = shifted >= (np.uint64(1) << np.uint64(width))
+        pos[mask] += width
+        shifted = np.where(mask, shifted >> np.uint64(width), shifted)
+    out[nz] = 63 - pos
+    return out
+
+
+def ctz64(x):
+    """Vectorized count-trailing-zeros over uint64 (64 for zero inputs)."""
+    import numpy as np
+
+    out = np.full(x.shape, 64, dtype=np.int64)
+    nz = x != 0
+    v = x[nz]
+    t = np.zeros(v.shape, dtype=np.int64)
+    for width in (32, 16, 8, 4, 2, 1):
+        mask = (v & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))) == 0
+        t[mask] += width
+        v = np.where(mask, v >> np.uint64(width), v)
+    out[nz] = t
+    return out

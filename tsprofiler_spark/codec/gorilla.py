@@ -19,22 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from tsprofiler_spark.codec.bits import BitReader, BitWriter
+from tsprofiler_spark.codec.bits import BitReader, BitWriter, clz64, ctz64
 
-
-def _clz64(x: np.ndarray) -> np.ndarray:
-    """Count leading zeros of uint64 values (vectorized)."""
-    out = np.full(x.shape, 64, dtype=np.int64)
-    nz = x != 0
-    # float conversion is exact for the top bit position
-    shifted = x[nz]
-    pos = np.zeros(shifted.shape, dtype=np.int64)
-    for width in (32, 16, 8, 4, 2, 1):
-        mask = shifted >= (np.uint64(1) << np.uint64(width))
-        pos[mask] += width
-        shifted = np.where(mask, shifted >> np.uint64(width), shifted)
-    out[nz] = 63 - pos
-    return out
+_clz64 = clz64  # shared bit-scan kernels: see codec/bits.py
 
 
 def gorilla_encode(values: np.ndarray) -> bytes:
@@ -52,16 +39,9 @@ def gorilla_encode(values: np.ndarray) -> bytes:
 
     xors = bits[1:] ^ bits[:-1]
     lead = np.minimum(_clz64(xors), 31)  # cap like Gorilla (5-bit field)
-    trail = np.zeros(len(xors), dtype=np.int64)
-    nz = xors != 0
-    if nz.any():
-        x = xors[nz]
-        t = np.zeros(x.shape, dtype=np.int64)
-        for width in (32, 16, 8, 4, 2, 1):
-            mask = (x & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))) == 0
-            t[mask] += width
-            x = np.where(mask, x >> np.uint64(width), x)
-        trail[nz] = t
+    # ctz64 reports 64 for xor==0; those entries take the zero-control-bit
+    # branch below and never read trail — clamp to 0 to keep the old shape
+    trail = np.where(xors != 0, ctz64(xors), 0)
 
     prev_lead, prev_mbits = -1, -1
     for i in range(len(xors)):

@@ -162,30 +162,10 @@ def dod_encode_many(ts_concat: np.ndarray, lengths: np.ndarray) -> list[bytes]:
     return _finish(bits, seg_byte_start, seg_bytes)
 
 
-def _clz64_v(x: np.ndarray) -> np.ndarray:
-    out = np.full(x.shape, 64, dtype=np.int64)
-    nz = x != 0
-    shifted = x[nz]
-    p = np.zeros(shifted.shape, dtype=np.int64)
-    for width in (32, 16, 8, 4, 2, 1):
-        m = shifted >= (_U1 << np.uint64(width))
-        p[m] += width
-        shifted = np.where(m, shifted >> np.uint64(width), shifted)
-    out[nz] = 63 - p
-    return out
-
-
-def _ctz64_v(x: np.ndarray) -> np.ndarray:
-    out = np.full(x.shape, 64, dtype=np.int64)
-    nz = x != 0
-    v = x[nz]
-    t = np.zeros(v.shape, dtype=np.int64)
-    for width in (32, 16, 8, 4, 2, 1):
-        m = (v & ((_U1 << np.uint64(width)) - _U1)) == 0
-        t[m] += width
-        v = np.where(m, v >> np.uint64(width), v)
-    out[nz] = t
-    return out
+# shared bit-scan kernels: see codec/bits.py (bit-identity between the
+# scalar and batch encoders depends on these being the same implementation)
+from tsprofiler_spark.codec.bits import clz64 as _clz64_v  # noqa: E402
+from tsprofiler_spark.codec.bits import ctz64 as _ctz64_v  # noqa: E402
 
 
 def gorilla_encode_many(

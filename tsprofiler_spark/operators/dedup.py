@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tsprofiler_spark.functions.hashing import h32
+from tsprofiler_spark.functions.spread import spread
 
 
 def _word_shingles(text_col, n: int = 3):
@@ -45,16 +46,7 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-def _spread(documents: DataFrame) -> DataFrame:
-    """Repartition the (small, compressed) document table across the
-    cluster BEFORE a fan-out/hash-heavy projection. Spark sizes scan splits
-    by input bytes, so a few-MB parquet of long texts becomes ONE task —
-    and the 100-5000x shingle/token explode with per-row hashing then runs
-    single-threaded. One cheap round-robin shuffle of the narrow input
-    fixes the parallelism at any scale (at 100 TB the scan is already
-    many-split and this is a near-no-op repartition to the same width)."""
-    spark = documents.sparkSession
-    return documents.repartition(spark.sparkContext.defaultParallelism)
+_spread = spread  # shared helper: see functions/spread.py
 
 
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
@@ -322,6 +314,7 @@ def dedup_components(
     )
     edges.persist()
     labels = documents.select("doc_id", F.col("doc_id").alias("comp"))
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -351,6 +344,21 @@ def dedup_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # running out of rounds means some component's labels are still
+        # intermediate — silently returning them would split components
+        # into multiple "keepers" and dedup incorrectly
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iterations} rounds: "
+            f"{changed} labels still changing — a component's diameter "
+            f"exceeds max_iterations; raise it (or use star-contraction at "
+            f"this scale)"
+        )
+    # NOTE: the returned DataFrame reads from the final persisted labels
+    # generation (unpersisting here would force a full loop-lineage
+    # recompute on first use); callers that run many resolutions in one
+    # session should materialize the result and clear the cache.
     return labels.select(
         "doc_id",
         F.col("comp").alias("keeper_id"),

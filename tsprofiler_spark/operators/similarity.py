@@ -16,20 +16,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tsprofiler_spark.functions.hashing import h32
+from tsprofiler_spark.functions.spread import spread
 
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _spread(embeddings: DataFrame) -> DataFrame:
-    """Repartition the (small-on-disk) embedding table across the cluster
-    before per-vector arithmetic: Spark sizes scan splits by file bytes, so
-    a compact parquet becomes one task and the O(dim·planes) per-row math
-    runs single-threaded. Cheap round-robin shuffle of the narrow input; a
-    near-no-op at real table sizes where the scan is already many-split."""
-    spark = embeddings.sparkSession
-    return embeddings.repartition(spark.sparkContext.defaultParallelism)
+_spread = spread  # shared helper: see functions/spread.py
 
 
 def _dot(a, b):

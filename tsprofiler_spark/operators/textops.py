@@ -183,14 +183,21 @@ def text_chunks(
     slice per chunk — no shuffle at all (chunking is embarrassingly
     row-parallel), no Python. Output rows: (doc_id, chunk_idx, start_token,
     chunk_n_tokens, chunk_text). The final (possibly short) window is kept;
-    a document shorter than one window yields exactly one chunk.
+    a document shorter than one window yields exactly one chunk. Windows
+    stop as soon as the tail is covered: no chunk is ever fully contained
+    in its predecessor (a start past ``n - chunk_tokens`` would re-emit a
+    pure subset of the previous window — duplicate training data).
     """
     assert 0 < overlap < chunk_tokens
     step = chunk_tokens - overlap
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    # window starts: 0, step, 2*step, ... while start < n (>=1 chunk always)
-    k_max = F.floor((F.greatest(n, F.lit(1)) - 1) / F.lit(step)).cast("int")
+    # window starts: 0, step, ..., up to the first start whose window
+    # reaches the end: k_max = ceil((n - chunk_tokens) / step), floored at 0
+    k_max = F.greatest(
+        F.lit(0),
+        F.floor((n - F.lit(chunk_tokens) + F.lit(step - 1)) / F.lit(step)),
+    ).cast("int")
     with_toks = documents.select("doc_id", toks.alias("toks"), n.alias("n"), k_max.alias("k_max"))
     exploded = with_toks.select(
         "doc_id",

@@ -466,7 +466,8 @@ WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
 e AS (
   SELECT doc_id, toks, n,
-    unnest(generate_series(0, CAST(FLOOR((GREATEST(n, 1) - 1) / 48.0) AS BIGINT))) AS k
+    unnest(generate_series(0,
+      GREATEST(0, CAST(FLOOR((n - 64 + 47) / 48.0) AS BIGINT)))) AS k
   FROM s
 )
 SELECT doc_id, CAST(k AS INT) AS chunk_idx, CAST(k * 48 AS INT) AS start_token,

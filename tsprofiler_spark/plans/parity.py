@@ -65,7 +65,15 @@ def parity_profiles(series: DataFrame, settings: Settings) -> DataFrame:
         metric_names = sorted(pdf["metric"].unique().tolist())
         n_m = len(metric_names)
         vals = pdf["value"].to_numpy(dtype=np.float64)
-        dense = len(pdf) % n_m == 0
+        # duplicate (ts, turn_idx) rows must take the exact groupby path:
+        # the fold groups them into ONE put() (one TSInput), while the
+        # dense reshape would treat each as its own turn — with n_m == 1
+        # the tile checks below can't see the difference, so gate on
+        # uniqueness explicitly
+        dense = (
+            len(pdf) % n_m == 0
+            and not pdf.duplicated(["ts", "turn_idx", "metric"]).any()
+        )
         if dense:
             n_turns = len(pdf) // n_m
             mets = pdf["metric"].to_numpy().reshape(n_turns, n_m)

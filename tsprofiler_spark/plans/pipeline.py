@@ -93,10 +93,17 @@ def profile_pipeline(
             series, settings.buffer_size, segment_turns=segment_turns
         )
     elif do_gap_fill:
-        # gap-filled ts is interpolated on the turn axis, so per series
-        # (ts, turn_idx) order == turn_idx order — and ordering by turn_idx
-        # alone gives bucketize the SAME window spec as the LOCF value fill,
-        # eliminating one whole-table sort from the hot path.
+        # The gap-filled path defines arrival order as TURN order: gap_fill
+        # itself computes LOCF and ts interpolation along turn_idx, so the
+        # dense output is canonical on the turn axis, and ordering bucketize
+        # by turn_idx alone reuses the SAME window spec as the LOCF value
+        # fill — one whole-table sort less in the hot path. Filled rows'
+        # interpolated ts is monotone in turn_idx by construction; observed
+        # rows keep their raw ts, so an input whose ts is NON-monotone in
+        # turn_idx buckets by turn order here but by (ts, turn_idx) in the
+        # non-gap-fill path — turn order is the right semantics for
+        # transcripts (ts carries clock skew; turn_idx is the conversation
+        # order the reference's arrival-order contract maps to).
         bucketed = bucketize(series, settings.buffer_size, order_cols=("turn_idx",))
     else:
         bucketed = bucketize(series, settings.buffer_size)

@@ -447,7 +447,18 @@ class RollupStore:
         for day, ver, want in plan:
             df = self.read_versions(tier, {day: ver}).drop("day")
             stage_day = os.path.join(staging, f"day={day}")
-            df.repartition(want).write.mode("overwrite").parquet(stage_day)
+            # hash by series key + re-sort: merge_tiers writes every day
+            # SEGMENT-CONTIGUOUS and time-ordered (see the staged-write
+            # comment above), and compress_points_colocated's zero-shuffle
+            # path depends on that layout — a bare round-robin repartition
+            # here would interleave segments and silently de-optimize every
+            # post-compaction codec run (and worsen parquet delta encoding)
+            (
+                df.repartition(want, *SERIES_COLS)
+                .sortWithinPartitions(*SERIES_COLS, "metric", "bucket_start")
+                .write.mode("overwrite")
+                .parquet(stage_day)
+            )
             rows = self.spark.read.parquet(stage_day).count()
             dst = self._day_dir(tier, day, run_id)
             if os.path.isdir(dst):

@@ -89,7 +89,14 @@ def process_microbatch(
         return []  # at-least-once replay of a committed batch
     # one scan: watermark + touched day partitions for every tier MERGE
     wm, affected = batch.agg(F.max("ts"), touched_days()).collect()[0]
-    watermark = wm.isoformat(sep=" ") if wm is not None else store.manifest.watermark
+    # never move the watermark backwards: a batch of only LATE rows (ts all
+    # below the committed watermark) must re-MERGE its tiers but keep the
+    # high watermark — lowering it would make a later batch-incremental run
+    # on the same store re-read and double-fold the (new_wm, old_wm] range
+    watermark = wm.isoformat(sep=" ") if wm is not None else None
+    prior = store.manifest.watermark
+    if watermark is None or (prior is not None and watermark < prior):
+        watermark = prior
     return merge_transcript_batch(
         batch, store, run_id, watermark, affected=affected
     )
