@@ -79,3 +79,104 @@ def test_ttl_expiry(series):
     tight = {"1m": {"ttl_days": 0}}
     kept0 = apply_ttl(tiers["1m"], "1m", tight, wm)
     assert kept0.count() < tiers["1m"].count()
+
+
+def test_downsample_m4_semantics(spark):
+    """M4 keeps exactly (first, last, min, max) per bucket with the pinned
+    tie rules: first/last by (ts, turn_idx); min breaks value ties to the
+    EARLIEST occurrence, max to the LATEST (lexicographic struct order).
+    Checked against a brute-force python fold, with planted value ties and
+    shuffled arrival order."""
+    from tsprofiler_spark.operators.rollup import downsample_m4
+
+    t = synthesize_transcripts(spark, n_convs=4, max_turns=120, seed=11, step_seconds=20)
+    series = derive_series(t)
+    # plant value ties inside buckets: quantize value to 3 levels
+    series = series.withColumn("value", (F.col("value") % 3).cast("double"))
+    # arrival order must not matter
+    series = series.repartition(16)
+
+    got = {
+        (r.conv_id, r.tool, r.role, r.metric, r.bucket_start): r
+        for r in downsample_m4(series, "1m").collect()
+    }
+
+    import collections
+    groups = collections.defaultdict(list)
+    for r in series.collect():
+        bucket = r.ts.replace(second=0, microsecond=0)
+        groups[(r.conv_id, r.tool, r.role, r.metric, bucket)].append(r)
+    assert set(got) == set(groups)
+    for key, rows in groups.items():
+        first = min(rows, key=lambda r: (r.ts, r.turn_idx))
+        last = max(rows, key=lambda r: (r.ts, r.turn_idx))
+        mn = min(rows, key=lambda r: (r.value, r.ts, r.turn_idx))
+        mx = max(rows, key=lambda r: (r.value, r.ts, r.turn_idx))
+        g = got[key]
+        assert g.n == len(rows)
+        assert g.v_first == first.value and g.v_last == last.value
+        assert (g.vmin, g.t_min) == (mn.value, mn.ts)
+        assert (g.vmax, g.t_max) == (mx.value, mx.ts)
+        # the M4 envelope property: every value in the bucket is bounded
+        assert all(g.vmin <= r.value <= g.vmax for r in rows)
+
+
+def test_anomaly_zscore_matches_numpy(series):
+    """z-scores and flags vs a numpy recomputation from the same milli-unit
+    bucket averages (the operator's documented canonicalization)."""
+    import collections
+    import math
+
+    from tsprofiler_spark.operators.rollup import anomaly_zscore
+
+    t1m = rollup_from_series(series, "1m", SETTINGS)
+    got = {
+        (r.conv_id, r.tool, r.role, r.metric, r.bucket_start): r
+        for r in anomaly_zscore(t1m, k=2.0).collect()
+    }
+
+    groups = collections.defaultdict(list)
+    for r in t1m.collect():
+        u = math.floor(r.s1 / r.n * 1000 + 0.5)
+        groups[(r.conv_id, r.tool, r.role, r.metric)].append((r.bucket_start, r.n, u))
+    assert len(got) == sum(len(v) for v in groups.values())
+    for key, buckets in groups.items():
+        us = [u for _, _, u in buckets]
+        n_b = len(us)
+        s, q = sum(us), sum(u * u for u in us)
+        for bucket_start, n, u in buckets:
+            g = got[key + (bucket_start,)]
+            assert (g.n, g.avg_mu, g.n_buckets) == (n, u, n_b)
+            var = (q - s * s / n_b) / (n_b - 1) if n_b > 1 else 0.0
+            if n_b > 1 and var > 0:
+                z = (u - s / n_b) / math.sqrt(var)
+                assert g.z_u == math.floor(z * 1e6 + 0.5)
+                assert g.is_anomaly == int(abs(z) > 2.0)
+            else:
+                assert g.z_u is None and g.is_anomaly == 0
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark):
+    """A z-score over near-constant buckets can never exceed (n-1)/sqrt(n),
+    so a planted 10x spike among 9 flat buckets (max z ~2.85) must be the
+    ONLY flagged bucket."""
+    import datetime as dt
+
+    from tsprofiler_spark.operators.rollup import anomaly_zscore
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c0", "t", "user", "len_text", "1m",
+         base + dt.timedelta(minutes=i), 2, 20.0 if i < 9 else 200.0)
+        for i in range(10)
+    ]
+    tier = spark.createDataFrame(
+        rows,
+        "conv_id string, tool string, role string, metric string, "
+        "tier string, bucket_start timestamp, n long, s1 double",
+    )
+    out = anomaly_zscore(tier, k=2.0).collect()
+    flagged = [r for r in out if r.is_anomaly]
+    assert len(flagged) == 1
+    assert flagged[0].avg_mu == 100000  # 200/2 * 1000 milli-units
+    assert all(r.n_buckets == 10 for r in out)

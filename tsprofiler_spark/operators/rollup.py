@@ -90,6 +90,109 @@ def build_tiers(series: DataFrame, settings: Settings) -> dict[str, DataFrame]:
     return tiers
 
 
+def downsample_m4(series: DataFrame, tier: str = "1m") -> DataFrame:
+    """M4 downsampling (Jugel et al., "M4: A Visualization-Oriented Time
+    Series Data Aggregation", VLDB 2014 — public paper): per (series,
+    metric) and time bucket keep the four rendering-relevant points —
+    first, last, min, max — which bound every line segment a plot of the
+    raw series could draw through that bucket. The reference's heatmap
+    tooling (tools/plotRootTx) plots profiles, not raw series; M4 is the
+    standard raw-series counterpart at 100 TB where plotting raw points is
+    impossible.
+
+    Buckets are calendar tiers (minute/hour/day) rather than M4's
+    pixel-count widths so the output composes with the retention cascade;
+    the aggregate itself is the same.
+
+    Plan shape: ONE hash aggregation (shuffle on the series key + bucket),
+    all JVM-side. first/last/min/max are computed as ``min``/``max`` over
+    struct columns — lexicographic struct ordering makes every output
+    deterministic under any row arrival order (ties on value broken by
+    (ts, turn_idx); (ts, turn_idx) is unique per series). Struct min/max
+    is a plain distributive aggregate, so map-side partial aggregation and
+    AQE work exactly as for the numeric tiers, and coarser M4 buckets
+    could cascade from finer ones without touching raw data.
+    """
+    trunc = TIER_TRUNC[tier]
+    by_arrival = F.struct(F.col("ts"), F.col("turn_idx"), F.col("value"))
+    by_value = F.struct(F.col("value"), F.col("ts"), F.col("turn_idx"))
+    g = series.groupBy(
+        *SERIES_COLS, "metric", F.date_trunc(trunc, "ts").alias("bucket_start")
+    ).agg(
+        F.count("value").alias("n"),
+        F.min(by_arrival).alias("_first"),
+        F.max(by_arrival).alias("_last"),
+        F.min(by_value).alias("_min"),
+        F.max(by_value).alias("_max"),
+    )
+    return g.select(
+        *SERIES_COLS,
+        "metric",
+        F.lit(tier).alias("tier"),
+        "bucket_start",
+        "n",
+        F.col("_first.value").alias("v_first"),
+        F.col("_last.value").alias("v_last"),
+        F.col("_min.value").alias("vmin"),
+        F.col("_min.ts").alias("t_min"),
+        F.col("_max.value").alias("vmax"),
+        F.col("_max.ts").alias("t_max"),
+    )
+
+
+def anomaly_zscore(tier_df: DataFrame, k: float = 2.0) -> DataFrame:
+    """Per-series z-score anomaly flags over tier buckets.
+
+    The live counterpart of the reference's (dead) outlier predicate
+    (csv2tsprofile main.go OutlierFilter — see operators/ingest.py
+    `filter_outliers`): flag tier buckets whose average deviates more than
+    ``k`` standard deviations from the series' bucket-average distribution.
+
+    Determinism across engines (DuckDB oracle) is engineered, not hoped
+    for: the bucket average is first canonicalized to exact integer
+    MILLI-units (``floor(s1/n*1000 + 0.5)`` — s1 and n are exact ints, so
+    the division is one correctly-rounded IEEE op and the floor is exact).
+    The per-series moments are then INTEGER sums (order-independent under
+    any partial aggregation; bounded: u <= 128e3 so u^2 <= 1.64e10, and
+    1e6 buckets/series keeps SUM(u^2) < 2^53 — exact in BIGINT and in
+    DOUBLE), and mean/variance/z are the same scalar IEEE expression on
+    both engines — bit-identical, no order dependence anywhere.
+
+    Plan: one window over the series partition (moments) + a projection —
+    no join, no second shuffle; reuses the tier table's existing
+    partitioning when cascaded.
+    """
+    u = F.floor(F.col("s1") / F.col("n") * 1000.0 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(*SERIES_COLS, "metric", "tier")
+    b = tier_df.select(
+        *SERIES_COLS, "metric", "tier", "bucket_start", "n",
+        u.alias("avg_mu"),
+    )
+    n_b = F.count(F.lit(1)).over(w)
+    s = F.sum("avg_mu").over(w)
+    q = F.sum(F.col("avg_mu") * F.col("avg_mu")).over(w)
+    mean = s.cast("double") / n_b
+    var = (q.cast("double") - s.cast("double") * s.cast("double") / n_b) / (
+        n_b - 1
+    )
+    z = (F.col("avg_mu") - mean) / F.sqrt(var)
+    return (
+        b.select(
+            *SERIES_COLS, "metric", "tier", "bucket_start", "n", "avg_mu",
+            n_b.alias("n_buckets"),
+            F.when((n_b > 1) & (var > 0), z).alias("z"),
+        )
+        .select(
+            *SERIES_COLS, "metric", "tier", "bucket_start", "n", "avg_mu",
+            "n_buckets",
+            F.floor(F.col("z") * 1000000.0 + F.lit(0.5)).cast("long").alias("z_u"),
+            F.coalesce(
+                (F.abs(F.col("z")) > F.lit(k)).cast("int"), F.lit(0)
+            ).alias("is_anomaly"),
+        )
+    )
+
+
 def tier_transitions(tier_df: DataFrame, settings: Settings) -> DataFrame:
     """Markov transition counts between consecutive tier buckets per series
     (continuous-aggregate analogue of the reference's chunk transitions),

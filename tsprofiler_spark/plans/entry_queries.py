@@ -486,6 +486,181 @@ FROM series s ASOF LEFT JOIN tier t
 """.strip(),
 )
 
+# --- q: M4 downsample (first/last/min/max per bucket, VLDB'14) ---------------------
+# Deterministic under any arrival order: ties broken by lexicographic
+# struct ordering on (value, ts, turn_idx) / (ts, turn_idx, value), which
+# Spark and DuckDB define identically.
+
+def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsprofiler_spark.operators.rollup import downsample_m4
+
+    t = transcripts_from_events(spark, sf_dir)
+    return downsample_m4(derive_series(t), tier="1m").select(
+        "conv_id", "tool", "role", "metric", "bucket_start", "n",
+        "v_first", "v_last", "vmin", "t_min", "vmax", "t_max",
+    )
+
+
+_register(
+    "downsample_m4",
+    q_downsample_m4,
+    f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  SELECT conv_id, tool, role, turn_idx, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+m AS (
+  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(value) AS n,
+         min(struct_pack(a := ts, b := turn_idx, c := value)) AS f,
+         max(struct_pack(a := ts, b := turn_idx, c := value)) AS l,
+         min(struct_pack(a := value, b := ts, c := turn_idx)) AS mn,
+         max(struct_pack(a := value, b := ts, c := turn_idx)) AS mx
+  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
+)
+SELECT {SERIES}, metric, bucket_start, n,
+       f.c AS v_first, l.c AS v_last,
+       mn.a AS vmin, CAST(mn.b AS TIMESTAMP) AS t_min,
+       mx.a AS vmax, CAST(mx.b AS TIMESTAMP) AS t_max
+FROM m
+""".strip(),
+)
+
+# --- q: z-score anomaly flags over 1m tier buckets ----------------------------------
+# Deterministic by construction: integer milli-unit bucket averages ->
+# order-independent integer window sums -> identical scalar IEEE math on
+# both engines (see operators/rollup.py anomaly_zscore docstring).
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsprofiler_spark.operators.rollup import anomaly_zscore
+
+    t1m = _tier_df(spark, sf_dir)["1m"]
+    out = anomaly_zscore(t1m, k=2.0)
+    return out.select(
+        "conv_id", "tool", "role", "metric", "bucket_start", "n", "avg_mu",
+        "n_buckets",
+        F.coalesce(F.col("z_u"), F.lit(-(10**15))).alias("z_u"),
+        "is_anomaly",
+    )
+
+
+_register(
+    "anomaly_zscore",
+    q_anomaly_zscore,
+    f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  SELECT conv_id, tool, role, turn_idx, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+tier AS (
+  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(value) AS n, SUM(value) AS s1
+  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
+),
+b AS (
+  SELECT {SERIES}, metric, bucket_start, n,
+         CAST(FLOOR(s1 / n * 1000 + 0.5) AS BIGINT) AS avg_mu
+  FROM tier
+),
+m AS (
+  SELECT *, COUNT(*) OVER w AS n_b,
+         CAST(SUM(avg_mu) OVER w AS DOUBLE) AS s,
+         CAST(SUM(avg_mu * avg_mu) OVER w AS DOUBLE) AS q
+  FROM b
+  WINDOW w AS (PARTITION BY {SERIES}, metric)
+),
+zc AS (
+  SELECT *, (q - s * s / n_b) / (n_b - 1) AS varb,
+         (avg_mu - s / n_b) / SQRT((q - s * s / n_b) / (n_b - 1)) AS z
+  FROM m
+)
+SELECT {SERIES}, metric, bucket_start, n, avg_mu,
+       CAST(n_b AS BIGINT) AS n_buckets,
+       COALESCE(CASE WHEN n_b > 1 AND varb > 0
+                THEN CAST(FLOOR(z * 1000000 + 0.5) AS BIGINT) END,
+                -1000000000000000) AS z_u,
+       CASE WHEN n_b > 1 AND varb > 0 AND ABS(z) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+FROM zc
+""".strip(),
+)
+
+# --- q: sessionization (idle-gap session split + per-session envelope) --------------
+# Gap arithmetic is exact integer microseconds on both engines
+# (unix_micros <-> epoch_us), strict boundary; 12h threshold gives the
+# driver corpus a real mix of multi-turn sessions and singletons.
+
+_SESSION_GAP_S = 43200
+
+_CTE_SESSIONS = f"""
+transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+flagged AS (
+  SELECT conv_id, turn_idx, role, tool, ts, CAST(length(text) AS INT) AS n_chars,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= CAST({_SESSION_GAP_S} AS BIGINT) * 1000000
+         THEN 0 ELSE 1 END AS is_new
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sessions AS (
+  SELECT conv_id, turn_idx, role, tool, ts, n_chars,
+    CAST(SUM(is_new) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_idx
+  FROM flagged
+)
+""".strip()
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsprofiler_spark.operators.session import sessionize
+
+    t = transcripts_from_events(spark, sf_dir)
+    return sessionize(t, gap_seconds=_SESSION_GAP_S).select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        F.length("text").alias("n_chars"), "session_idx",
+    )
+
+
+_register(
+    "sessionize",
+    q_sessionize,
+    f"WITH {_CTE_SESSIONS}\n"
+    "SELECT conv_id, turn_idx, role, tool, ts, n_chars, session_idx FROM sessions",
+)
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsprofiler_spark.operators.session import session_stats, sessionize
+
+    t = transcripts_from_events(spark, sf_dir)
+    return session_stats(sessionize(t, gap_seconds=_SESSION_GAP_S)).select(
+        "conv_id", "session_idx", "n_turns", "first_turn", "last_turn",
+        "start_ts", "end_ts", "duration_us", "total_chars",
+    )
+
+
+_register(
+    "session_stats",
+    q_session_stats,
+    f"""
+WITH {_CTE_SESSIONS}
+SELECT conv_id, session_idx, COUNT(*) AS n_turns,
+       MIN(turn_idx) AS first_turn, MAX(turn_idx) AS last_turn,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sessions GROUP BY conv_id, session_idx
+""".strip(),
+)
+
 # --- q: codec round-trip ---------------------------------------------------------------
 
 def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
