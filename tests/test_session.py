@@ -60,3 +60,43 @@ def test_session_stats_envelope(spark):
         nxt = by_key.get((g.conv_id, g.session_idx + 1))
         if nxt is not None:
             assert (nxt.start_ts - g.end_ts).total_seconds() > GAP_S
+
+
+def test_metric_corr_matches_numpy(spark):
+    """Pearson r per series vs numpy recomputation from the same integer
+    moments; planted perfect trend pins r == 1."""
+    import math
+
+    from tsprofiler_spark.operators.correlate import metric_corr
+    from tsprofiler_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=5, max_turns=80, seed=13)
+    got = {(r.conv_id, r.tool, r.role): r for r in metric_corr(t).collect()}
+
+    import collections
+    groups = collections.defaultdict(list)
+    for r in t.collect():
+        groups[(r.conv_id, r.tool, r.role)].append((len(r.text), r.turn_idx))
+    assert set(got) == set(groups)
+    for key, pts in groups.items():
+        g = got[key]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        assert (g.n, g.sx, g.sy, g.sxx, g.syy, g.sxy) == (n, sx, sy, sxx, syy, sxy)
+        var_x = sxx - sx * sx / n
+        var_y = syy - sy * sy / n
+        if n > 1 and var_x > 0 and var_y > 0:
+            r_exp = (sxy - sx * sy / n) / (math.sqrt(var_x) * math.sqrt(var_y))
+            assert abs(g.r - r_exp) < 1e-12
+        else:
+            assert g.r is None
+
+    # planted perfect linear trend -> r exactly 1.0
+    lin = spark.createDataFrame(
+        [("c", i, "user", "x" * (3 * i + 2), "t", None) for i in range(10)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    row = metric_corr(lin).collect()[0]
+    assert abs(row.r - 1.0) < 1e-12

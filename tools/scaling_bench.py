@@ -72,7 +72,8 @@ def generate_input(path: str, convs: int, turns: int) -> int:
     return n
 
 
-def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = False) -> dict:
+def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = False,
+           exec_cores: int = 8, passes: int = 3) -> dict:
     """One spark-submit of the pipeline.
 
     mode 'local-cluster': cores/8 REAL executor JVMs x 8 cores each — the
@@ -89,9 +90,11 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = 
     local_dir = os.path.join(base_dir, f"sparklocal{cores}")
     mem_conf = []
     if mode == "local-cluster":
-        n_exec = max(cores // 8, 1)
-        exec_mem_mb = int(os.environ.get("SPARK_EXEC_MEM_MB", "10240"))
-        master = f"local-cluster[{n_exec},8,{exec_mem_mb}]"
+        n_exec = max(cores // exec_cores, 1)
+        # SPARK_EXEC_MEM_MB is the per-8-core baseline; scale to executor
+        # size so memory PER CORE is identical for any --exec-cores choice
+        exec_mem_mb = int(os.environ.get("SPARK_EXEC_MEM_MB", "10240")) * exec_cores // 8
+        master = f"local-cluster[{n_exec},{exec_cores},{exec_mem_mb}]"
         driver_mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
         # CRITICAL: the third local-cluster field is only the WORKER's
         # allocatable pool — executor heap still comes from
@@ -121,6 +124,7 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = 
         # synthetic text compresses ~40x, so 128m splits would hold 10M+
         # rows and blow up scan-stage partial aggregation in one task
         "--max-partition-bytes", "8m",
+        "--passes", str(passes),
     ]
     if probe:
         cmd.append("--probe")
@@ -186,6 +190,19 @@ def main() -> None:
                     default="local-cluster",
                     help="local-cluster: N vs 4N real executor JVMs (8 cores "
                     "each); local: single-JVM thread scaling")
+    ap.add_argument("--passes", type=int, default=3,
+                    help="full passes per leg; fastest WARM pass measured. "
+                    "The large leg often needs 4-5 passes to reach steady "
+                    "state under bursty hypervisor contention (observed: "
+                    "pass totals still descending at 3)")
+    ap.add_argument("--exec-cores", type=int, default=8,
+                    help="cores per executor JVM in local-cluster mode. "
+                    "N/4N executor counts come from cores/exec_cores: "
+                    "--small 8 --large 32 --exec-cores 8 is 1 vs 4 "
+                    "8-core executors; --small 4 --large 16 --exec-cores 4 "
+                    "is 1 vs 4 4-core executors — the latter stays inside "
+                    "the sandbox's ~16 physical cores so the hypervisor's "
+                    "SMT wall above 16 vCPUs doesn't mask engine scaling")
     ap.add_argument("--probe", action="store_true",
                     help="run the compute-bound + shuffle-bound probes "
                     "instead of the pipeline; writes BENCH/probe.json")
@@ -203,7 +220,8 @@ def main() -> None:
         results = {}
         for cores in (args.small, args.large):
             print(f"[scaling] probe at {cores} cores ...", file=sys.stderr)
-            results[cores] = run_at(zpath, "", "", cores, args.mode, probe=True)
+            results[cores] = run_at(zpath, "", "", cores, args.mode, probe=True,
+                                    exec_cores=args.exec_cores, passes=args.passes)
             print(f"[scaling] {cores}: {results[cores]['stages']}", file=sys.stderr)
         factor = args.large / args.small
         eff = {
@@ -242,11 +260,12 @@ def main() -> None:
     for cores in (args.small, args.large):
         out = os.path.join(work, f"out{cores}")
         label = (
-            f"local-cluster[{cores // 8},8,...]" if args.mode == "local-cluster"
-            else f"local[{cores}]"
+            f"local-cluster[{cores // args.exec_cores},{args.exec_cores},...]"
+            if args.mode == "local-cluster" else f"local[{cores}]"
         )
         print(f"[scaling] spark-submit --master {label} ...", file=sys.stderr)
-        results[cores] = run_at(zpath, inp, out, cores, args.mode)
+        results[cores] = run_at(zpath, inp, out, cores, args.mode,
+                                exec_cores=args.exec_cores, passes=args.passes)
         hashes[cores] = tier_hashes(results[cores]["measured_store"])
         print(f"[scaling] local[{cores}]: {results[cores]['value']}s "
               f"({results[cores]['points_per_sec']} pts/s)", file=sys.stderr)

@@ -592,6 +592,59 @@ FROM zc
 """.strip(),
 )
 
+# --- q: cross-metric correlation (Pearson r from exact integer moments) -------------
+
+def q_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsprofiler_spark.operators.correlate import metric_corr
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = metric_corr(t)
+    return out.select(
+        "conv_id", "tool", "role", "n", "sx", "sy", "sxx", "syy", "sxy",
+        F.coalesce(
+            F.floor(F.col("r") * 1000000.0 + F.lit(0.5)).cast("long"),
+            F.lit(-(10**15)),
+        ).alias("r_u"),
+    )
+
+
+_register(
+    "metric_corr",
+    q_metric_corr,
+    f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+xy AS (
+  SELECT conv_id, tool, role,
+         CAST(length(text) AS BIGINT) AS x,
+         CAST(turn_idx AS BIGINT) AS y
+  FROM transcripts
+),
+mo AS (
+  SELECT {SERIES}, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM xy GROUP BY {SERIES}
+),
+rr AS (
+  SELECT *,
+    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS var_x,
+    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS var_y,
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS r
+  FROM mo
+)
+SELECT {SERIES}, n, sx, sy, sxx, syy, sxy,
+       COALESCE(CASE WHEN n > 1 AND var_x > 0 AND var_y > 0
+                THEN CAST(FLOOR(r * 1000000 + 0.5) AS BIGINT) END,
+                -1000000000000000) AS r_u
+FROM rr
+""".strip(),
+)
+
 # --- q: sessionization (idle-gap session split + per-session envelope) --------------
 # Gap arithmetic is exact integer microseconds on both engines
 # (unix_micros <-> epoch_us), strict boundary; 12h threshold gives the
