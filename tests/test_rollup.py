@@ -180,3 +180,65 @@ def test_anomaly_zscore_flags_planted_outlier(spark):
     assert len(flagged) == 1
     assert flagged[0].avg_mu == 100000  # 200/2 * 1000 milli-units
     assert all(r.n_buckets == 10 for r in out)
+
+
+def test_tier_delta_semantics(series):
+    """delta/gap vs a python fold over the same milli-unit bucket chain."""
+    import collections
+    import math
+
+    from tsprofiler_spark.operators.rollup import tier_delta
+
+    t1m = rollup_from_series(series, "1m", SETTINGS)
+    got = {
+        (r.conv_id, r.tool, r.role, r.metric, r.bucket_start): r
+        for r in tier_delta(t1m).collect()
+    }
+    groups = collections.defaultdict(list)
+    for r in t1m.collect():
+        u = math.floor(r.s1 / r.n * 1000 + 0.5)
+        groups[(r.conv_id, r.tool, r.role, r.metric)].append((r.bucket_start, u))
+    for key, buckets in groups.items():
+        buckets.sort()
+        prev = None
+        for ts, u in buckets:
+            g = got[key + (ts,)]
+            assert g.avg_mu == u
+            if prev is None:
+                assert g.prev_avg_mu is None and g.delta_mu is None and g.gap_us is None
+            else:
+                assert g.prev_avg_mu == prev[1]
+                assert g.delta_mu == u - prev[1]
+                assert g.gap_us == int((ts - prev[0]).total_seconds() * 1e6)
+                assert g.gap_us >= 60_000_000  # 1m tier: gaps are >= one bucket
+            prev = (ts, u)
+
+
+def test_topk_series_daily(series):
+    """Exactly min(k, cardinality) rows per day, ranked by total_n with the
+    pinned total-order tie-break, matching a python recomputation."""
+    import collections
+
+    from tsprofiler_spark.operators.rollup import topk_series_daily
+
+    t1m = rollup_from_series(series, "1m", SETTINGS)
+    rows = topk_series_daily(t1m, k=3).collect()
+    per_day = collections.defaultdict(list)
+    for r in rows:
+        per_day[r.day].append(r)
+
+    totals = collections.defaultdict(lambda: collections.defaultdict(int))
+    for r in t1m.collect():
+        day = r.bucket_start.replace(hour=0, minute=0, second=0, microsecond=0)
+        totals[day][(r.conv_id, r.tool, r.role, r.metric)] += r.n
+
+    for day, top in per_day.items():
+        top.sort(key=lambda r: r.rank)
+        expected = sorted(
+            totals[day].items(), key=lambda kv: (-kv[1], kv[0])
+        )[: len(top)]
+        assert [(r.conv_id, r.tool, r.role, r.metric) for r in top] == [
+            k for k, _ in expected
+        ]
+        assert [r.total_n for r in top] == [v for _, v in expected]
+        assert len(top) == min(3, len(totals[day]))

@@ -140,6 +140,80 @@ def downsample_m4(series: DataFrame, tier: str = "1m") -> DataFrame:
     )
 
 
+def tier_delta(tier_df: DataFrame) -> DataFrame:
+    """Bucket-over-bucket change per series: the monitoring-standard
+    downsample→delta transform (how much did the series move between
+    consecutive tier buckets?).
+
+    Emits, per bucket: the previous bucket's average, the delta of exact
+    integer milli-unit averages (NULL on each series' first bucket), and
+    the exact microsecond gap to the previous bucket (one tier period when
+    contiguous; larger when the series skipped buckets — rate consumers
+    compute delta_mu / gap_us).
+
+    ONE window pass over the series partition, no join; all arithmetic on
+    exact integers (same canonicalization as anomaly_zscore), so the
+    DuckDB oracle matches bit-for-bit. Cascades over any tier table.
+    """
+    u = F.floor(F.col("s1") / F.col("n") * 1000.0 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy(*SERIES_COLS, "metric", "tier")
+        .orderBy("bucket_start")
+    )
+    b = tier_df.select(
+        *SERIES_COLS, "metric", "tier", "bucket_start", "n", u.alias("avg_mu")
+    )
+    prev_u = F.lag("avg_mu").over(w)
+    prev_ts = F.lag("bucket_start").over(w)
+    return b.select(
+        *SERIES_COLS,
+        "metric",
+        "tier",
+        "bucket_start",
+        "n",
+        "avg_mu",
+        prev_u.alias("prev_avg_mu"),
+        (F.col("avg_mu") - prev_u).alias("delta_mu"),
+        F.when(
+            prev_ts.isNotNull(),
+            (
+                F.unix_micros(F.col("bucket_start").cast("timestamp"))
+                - F.unix_micros(prev_ts.cast("timestamp"))
+            ),
+        ).alias("gap_us"),
+    )
+
+
+def topk_series_daily(tier_df: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k most active series per day (by total observation count).
+
+    The operational "heavy hitters" report over the rollup tiers: which
+    conversations/tools dominated each day. Exact, not sketched — at tier
+    granularity the per-day series cardinality is already bounded by the
+    rollup, so a full ranking is cheap; a count-min sketch is only needed
+    upstream of the tiers, where dedup/LSH land first.
+
+    Plan: one hash agg (day × series) + one window ranking partitioned by
+    day. Ties are deterministic: rank orders by (total_n DESC, series key
+    ASC) — a total order, so both engines agree on every boundary row.
+    """
+    g = tier_df.groupBy(
+        F.date_trunc("day", "bucket_start").alias("day"),
+        *SERIES_COLS,
+        "metric",
+    ).agg(
+        F.sum("n").alias("total_n"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.desc("total_n"), *SERIES_COLS, "metric"
+    )
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def anomaly_zscore(tier_df: DataFrame, k: float = 2.0) -> DataFrame:
     """Per-series z-score anomaly flags over tier buckets.
 

@@ -592,6 +592,101 @@ FROM zc
 """.strip(),
 )
 
+# --- q: bucket-over-bucket delta on the 1m tier --------------------------------------
+
+def q_tier_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsprofiler_spark.operators.rollup import tier_delta
+
+    t1m = _tier_df(spark, sf_dir)["1m"]
+    out = tier_delta(t1m)
+    sent = F.lit(-(10**15))
+    return out.select(
+        "conv_id", "tool", "role", "metric", "bucket_start", "n", "avg_mu",
+        F.coalesce(F.col("prev_avg_mu"), sent).alias("prev_avg_mu"),
+        F.coalesce(F.col("delta_mu"), sent).alias("delta_mu"),
+        F.coalesce(F.col("gap_us"), sent).alias("gap_us"),
+    )
+
+
+_register(
+    "tier_delta",
+    q_tier_delta,
+    f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  SELECT conv_id, tool, role, turn_idx, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+tier AS (
+  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(value) AS n, SUM(value) AS s1
+  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
+),
+b AS (
+  SELECT {SERIES}, metric, bucket_start, n,
+         CAST(FLOOR(s1 / n * 1000 + 0.5) AS BIGINT) AS avg_mu
+  FROM tier
+),
+d AS (
+  SELECT *, LAG(avg_mu) OVER w AS prev_avg_mu,
+         epoch_us(bucket_start) - LAG(epoch_us(bucket_start)) OVER w AS gap_us
+  FROM b
+  WINDOW w AS (PARTITION BY {SERIES}, metric ORDER BY bucket_start)
+)
+SELECT {SERIES}, metric, bucket_start, n, avg_mu,
+       COALESCE(prev_avg_mu, -1000000000000000) AS prev_avg_mu,
+       COALESCE(avg_mu - prev_avg_mu, -1000000000000000) AS delta_mu,
+       COALESCE(gap_us, -1000000000000000) AS gap_us
+FROM d
+""".strip(),
+)
+
+# --- q: top-k heaviest series per day (exact heavy hitters over the 1m tier) ---------
+
+def q_topk_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsprofiler_spark.operators.rollup import topk_series_daily
+
+    t1m = _tier_df(spark, sf_dir)["1m"]
+    return topk_series_daily(t1m, k=5).select(
+        "day", "conv_id", "tool", "role", "metric", "total_n", "n_buckets",
+        "rank",
+    )
+
+
+_register(
+    "topk_series_daily",
+    q_topk_series_daily,
+    f"""
+WITH transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  SELECT conv_id, tool, role, turn_idx, ts,
+         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+tier AS (
+  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(value) AS n
+  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
+),
+g AS (
+  SELECT CAST(date_trunc('day', bucket_start) AS TIMESTAMP) AS day,
+         {SERIES}, metric,
+         CAST(SUM(n) AS BIGINT) AS total_n, COUNT(*) AS n_buckets
+  FROM tier GROUP BY day, {SERIES}, metric
+)
+SELECT day, {SERIES}, metric, total_n, n_buckets,
+       CAST(ROW_NUMBER() OVER (PARTITION BY day
+            ORDER BY total_n DESC, conv_id, tool, role, metric) AS INT) AS rank
+FROM g
+QUALIFY rank <= 5
+""".strip(),
+)
+
 # --- q: cross-metric correlation (Pearson r from exact integer moments) -------------
 
 def q_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
