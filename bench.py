@@ -130,7 +130,7 @@ def main() -> None:
 
         def events_family():
             total = 0
-            for name in ("chunk_states", "transition_probs", "rollup_1h",
+            for name in ("chunk_states", "transition_probs", "rollup_tiers",
                          "tier_tx_1h", "downsample_m4", "session_stats"):
                 total += QUERIES[name](spark, SF_DIR).count()
             return total

@@ -305,6 +305,8 @@ def dedup_components(
     (Kiveris et al., "Connected Components in MapReduce"), which bounds
     rounds at O(log n) under heavy skew — same output contract.
     """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

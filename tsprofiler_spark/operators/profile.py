@@ -361,6 +361,11 @@ def series_stats(chunks: DataFrame, settings: Settings) -> DataFrame:
     return chunks.groupBy(*SERIES_COLS, "metric").agg(
         F.sum("n").alias("count"),
         (F.sum("s1") / F.sum("n")).alias("avg"),
+        # exact-integer twin of avg's numerator (metric values are integral
+        # doubles, so SUM is exact below 2^53): cross-engine value checks
+        # derive avg from s1_sum/count in pure integer arithmetic instead
+        # of comparing raw IEEE doubles
+        F.sum("s1").cast("long").alias("s1_sum"),
         min_col.alias("min"),
         max_col.alias("max"),
         F.sum("stddev_sum").alias("stddev_sum"),

@@ -195,7 +195,9 @@ def topk_series_daily(tier_df: DataFrame, k: int = 5) -> DataFrame:
 
     Plan: one hash agg (day × series) + one window ranking partitioned by
     day. Ties are deterministic: rank orders by (total_n DESC, series key
-    ASC) — a total order, so both engines agree on every boundary row.
+    ASC NULLS LAST) — a total order, and NULLS LAST matches DuckDB's
+    default ASC null placement (Spark defaults to NULLS FIRST), so both
+    engines agree on every boundary row even when a series key is NULL.
     """
     g = tier_df.groupBy(
         F.date_trunc("day", "bucket_start").alias("day"),
@@ -206,7 +208,9 @@ def topk_series_daily(tier_df: DataFrame, k: int = 5) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
     )
     w = Window.partitionBy("day").orderBy(
-        F.desc("total_n"), *SERIES_COLS, "metric"
+        F.desc("total_n"),
+        *[F.asc_nulls_last(c) for c in SERIES_COLS],
+        F.asc_nulls_last("metric"),
     )
     return (
         g.withColumn("rank", F.row_number().over(w))

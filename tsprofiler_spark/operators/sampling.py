@@ -58,14 +58,19 @@ def stratified_sample(
     for its stratum — an exact-rate, reproducible Bernoulli sample that
     needs no shuffle and no RNG state. Unlisted strata use
     ``default_fraction``. Returns (doc_id, <strat_col>).
+
+    NULL strata hash and threshold as the empty-string sentinel (so a NULL
+    stratum is sampled at ``default_fraction`` instead of silently dropped
+    by NULL-propagating string concat), and thresholds use round() so
+    fractions that are not exactly binary-representable (0.29) still give
+    the documented keep-rate.
     """
+    strat = F.coalesce(F.col(strat_col).cast("string"), F.lit(""))
     h = F.pmod(
-        h32(F.concat_ws(":", F.col(strat_col), F.col(id_col).cast("string"))),
+        h32(F.concat_ws(":", strat, F.col(id_col).cast("string"))),
         F.lit(denom),
     )
-    thresh = F.lit(int(default_fraction * denom))
+    thresh = F.lit(round(default_fraction * denom))
     for value, frac in sorted(fractions.items()):
-        thresh = F.when(F.col(strat_col) == value, F.lit(int(frac * denom))).otherwise(
-            thresh
-        )
+        thresh = F.when(strat == value, F.lit(round(frac * denom))).otherwise(thresh)
     return documents.where(h < thresh).select(id_col, strat_col)

@@ -268,7 +268,14 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    n_tokens = F.size(F.split(F.col("text"), " "))
+    # engine-agnostic whitespace token count (same SQL text runs on Spark
+    # and DuckDB — split()/string_split() edge semantics differ across
+    # engine versions on empty strings; counting spaces does not — the same
+    # trick as ingest.METRIC_EXPRS n_words)
+    n_tokens = F.expr(
+        "CASE WHEN length(coalesce(text, '')) = 0 THEN 0 "
+        "ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+    )
     d = documents.select(
         "doc_id",
         (F.col("doc_id") % n_shards).cast("int").alias("shard"),
@@ -276,11 +283,17 @@ def pack_sequences(
     )
     w = Window.partitionBy("shard").orderBy("doc_id")
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # pack assignment in pure integer arithmetic (div/%, never a double
+    # division) so the cross-engine value check has zero float ops
     return d.select(
+        "doc_id", "shard", "n_tokens", start.alias("start_offset")
+    ).select(
         "doc_id",
         "shard",
         "n_tokens",
-        start.alias("start_offset"),
-        F.floor(start / F.lit(budget_tokens)).cast("long").alias("pack_id"),
-        (start % F.lit(budget_tokens)).cast("long").alias("offset_in_pack"),
+        "start_offset",
+        F.expr(f"start_offset div {budget_tokens}").cast("long").alias("pack_id"),
+        (F.col("start_offset") % F.lit(budget_tokens))
+        .cast("long")
+        .alias("offset_in_pack"),
     )

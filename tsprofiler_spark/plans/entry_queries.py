@@ -311,11 +311,20 @@ WINDOW
 # --- q: series_stats -------------------------------------------------------------
 
 def q_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ALL-INTEGER output (r2 verdict: this query hash-failed on the driver
+    # two rounds running while green locally — raw IEEE doubles are the only
+    # plausible divergence since chunk_states, which shares every per-chunk
+    # value, passes). avg is derived as integer micro-units via
+    # round-half-up((1e6 * s1_sum) / count) computed with pure integer
+    # division; min/max are the fixed bounds as BIGINT.
     chunks = _states_df(spark, sf_dir)
     stats = series_stats(chunks, SETTINGS)
     return stats.select(
         "conv_id", "tool", "role", "metric", "count",
-        F.col("min"), F.col("max"), F.col("avg"),
+        F.col("min").cast("long").alias("min_i"),
+        F.col("max").cast("long").alias("max_i"),
+        "s1_sum",
+        F.expr("(2000000 * s1_sum + `count`) div (2 * `count`)").alias("avg_mu"),
         # order-independent canonical form: per-chunk micro-units are rounded
         # BEFORE the sum (integer sum is associative — no partial-agg flake)
         "stddev_sum_u",
@@ -328,13 +337,55 @@ _register(
     q_series_stats,
     _q(
         f"""
-SELECT {SERIES}, metric, SUM(n) AS count,
-       CAST({SETTINGS.fixed_min} AS DOUBLE) AS min,
-       CAST({SETTINGS.fixed_max} AS DOUBLE) AS max,
-       SUM(s1) / SUM(n) AS avg,
+SELECT {SERIES}, metric, CAST(SUM(n) AS BIGINT) AS count,
+       CAST({int(SETTINGS.fixed_min)} AS BIGINT) AS min_i,
+       CAST({int(SETTINGS.fixed_max)} AS BIGINT) AS max_i,
+       CAST(SUM(s1) AS BIGINT) AS s1_sum,
+       CAST((2000000 * CAST(SUM(s1) AS BIGINT) + CAST(SUM(n) AS BIGINT))
+            // (2 * CAST(SUM(n) AS BIGINT)) AS BIGINT) AS avg_mu,
        CAST(SUM({_U.format(x='stddev_sum')}) AS BIGINT) AS stddev_sum_u,
        COUNT(*) AS n_chunks
 FROM states GROUP BY {SERIES}, metric
+""".strip()
+    ),
+)
+
+
+# --- q: probe_series_stats --------------------------------------------------------
+# Localization probe twin (r2 verdict #2): ONE all-integer row of corpus-wide
+# totals over the same `states` chunk table. If series_stats ever hash-fails
+# on the driver again while this probe is green, the divergence is in the
+# per-group rows (grouping/canonicalization), not the column values; if the
+# probe fails too, the failing total names the column family.
+
+def q_probe_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = _states_df(spark, sf_dir)
+    return chunks.agg(
+        F.sum("n").alias("total_n"),
+        F.sum("s1").cast("long").alias("total_s1"),
+        F.sum(
+            F.floor(F.col("stddev_sum") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        ).alias("total_stddev_u"),
+        F.count(F.lit(1)).alias("total_chunks"),
+        # concat_ws skips NULLs identically on Spark and DuckDB, so the
+        # distinct-group count agrees even if a series key is NULL
+        F.countDistinct(
+            F.concat_ws("|", "conv_id", "tool", "role", "metric")
+        ).alias("n_groups"),
+    )
+
+
+_register(
+    "probe_series_stats",
+    q_probe_series_stats,
+    _q(
+        f"""
+SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+       CAST(SUM(s1) AS BIGINT) AS total_s1,
+       CAST(SUM({_U.format(x='stddev_sum')}) AS BIGINT) AS total_stddev_u,
+       COUNT(*) AS total_chunks,
+       COUNT(DISTINCT concat_ws('|', conv_id, tool, role, metric)) AS n_groups
+FROM states
 """.strip()
     ),
 )
@@ -349,23 +400,44 @@ def _tier_df(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return build_tiers(derive_series(t), SETTINGS)
 
 
-def _q_rollup(tier: str):
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = _tier_df(spark, sf_dir)[tier]
-        return df.select(
+def _q_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three retention tiers of the cascade (raw->1m->1h->1d) in ONE
+    result, tagged by tier — the north-star metric's unit ("rolled-up
+    points across all retention tiers") as a single driver-checked query.
+    The cascade re-aggregates 1m partials (never raw) for 1h/1d; values are
+    exact-integer sums, so cascade == direct per-tier groupBy and the
+    oracle recomputes each tier directly from the series."""
+    tiers = _tier_df(spark, sf_dir)
+    out = None
+    for tier in ("1m", "1h", "1d"):
+        part = tiers[tier].select(
+            F.lit(tier).alias("tier"),
             "conv_id", "tool", "role", "metric", "bucket_start",
             "n", "s1", "vmin", "vmax", "avg", "state",
             _micro(F.coalesce(F.col("stddev"), F.lit(-1.0))).alias("stddev_u"),
         )
+        out = part if out is None else out.unionByName(part)
+    return out
 
-    return q
+
+def _rollup_tier_select(tier: str, trunc: str) -> str:
+    return f"""
+SELECT '{tier}' AS tier, {SERIES}, metric, bucket_start, n, s1, vmin, vmax,
+  s1 / n AS avg, {_TIER_STATE_SQL} AS state,
+  {_U.format(x=("COALESCE(CASE WHEN n > 1 THEN SQRT(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0)) END, -1.0)"))} AS stddev_u
+FROM (
+  SELECT {SERIES}, metric, CAST(date_trunc('{trunc}', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(value) AS n, SUM(value) AS s1, SUM(value * value) AS s2,
+         MIN(value) AS vmin, MAX(value) AS vmax
+  FROM series GROUP BY {SERIES}, metric, date_trunc('{trunc}', ts)
+) tier_{tier}
+""".strip()
 
 
-for _tier, _trunc in _TIER_SQL_TRUNC.items():
-    _register(
-        f"rollup_{_tier}",
-        _q_rollup(_tier),
-        f"""
+_register(
+    "rollup_tiers",
+    _q_rollup_tiers,
+    f"""
 WITH transcripts AS (
 {TRANSCRIPTS_FROM_EVENTS_SQL}
 ),
@@ -373,19 +445,10 @@ series AS (
   SELECT conv_id, tool, role, turn_idx, ts,
          'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
   FROM transcripts
-),
-tier AS (
-  SELECT {SERIES}, metric, CAST(date_trunc('{_trunc}', ts) AS TIMESTAMP) AS bucket_start,
-         COUNT(value) AS n, SUM(value) AS s1, SUM(value * value) AS s2,
-         MIN(value) AS vmin, MAX(value) AS vmax
-  FROM series GROUP BY {SERIES}, metric, date_trunc('{_trunc}', ts)
 )
-SELECT {SERIES}, metric, bucket_start, n, s1, vmin, vmax,
-  s1 / n AS avg, {_TIER_STATE_SQL} AS state,
-  {_U.format(x=("COALESCE(CASE WHEN n > 1 THEN SQRT(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0)) END, -1.0)"))} AS stddev_u
-FROM tier
+{" UNION ALL ".join(_rollup_tier_select(t, tr) for t, tr in _TIER_SQL_TRUNC.items())}
 """.strip(),
-    )
+)
 
 # --- q: tier transitions (1h) --------------------------------------------------------
 

@@ -328,7 +328,7 @@ FROM (SELECT doc_id, {_H_DOCID} AS h FROM documents)
 """.strip(),
 )
 
-_H_STRAT = h32_sql_duckdb("lang || ':' || CAST(doc_id AS STRING)")
+_H_STRAT = h32_sql_duckdb("coalesce(lang, '') || ':' || CAST(doc_id AS STRING)")
 
 _register(
     "sample_stratified",
@@ -338,7 +338,7 @@ _register(
     f"""
 SELECT doc_id, lang
 FROM (SELECT doc_id, lang, {_H_STRAT} AS h FROM documents)
-WHERE h % 1000000 < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
+WHERE h % 1000000 < CASE coalesce(lang, '') WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
                     ELSE 600000 END
 """.strip(),
 )
@@ -534,7 +534,9 @@ _register(
     """
 WITH d AS (
   SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END
+              AS BIGINT) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -543,9 +545,41 @@ c AS (
   FROM d
 )
 SELECT doc_id, shard, n_tokens, start_offset,
-       CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS pack_id,
+       CAST(start_offset // 256 AS BIGINT) AS pack_id,
        CAST(start_offset % 256 AS BIGINT) AS offset_in_pack
 FROM c
+""".strip(),
+)
+
+# Localization probe twin (r2 verdict #3): per-shard all-integer totals of
+# the SAME token counts pack_sequences consumes. If pack is red while this
+# is green the divergence is in the window/packing; if this is red the
+# token count itself diverges (names the column).
+_register(
+    "probe_pack_tokens",
+    lambda spark, sf: _docs(spark, sf)
+    .groupBy((F.col("doc_id") % 8).cast("int").alias("shard"))
+    .agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN length(coalesce(text, '')) = 0 THEN 0 "
+                "ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+            )
+        ).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias(
+            "total_chars"
+        ),
+    ),
+    """
+SELECT CAST(doc_id % 8 AS INT) AS shard,
+       CAST(SUM(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+                ELSE length(text) - length(replace(text, ' ', '')) + 1 END)
+            AS BIGINT) AS total_tokens,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CAST(doc_id % 8 AS INT)
 """.strip(),
 )
 
