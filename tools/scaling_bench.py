@@ -86,7 +86,13 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = 
     # storage-scales-with-compute rationale as the work dir. Probe mode has
     # no store (out='' -> dirname ''): fall back to a temp dir rather than
     # littering sparklocal* dirs in the invoking cwd (the repo).
-    base_dir = os.path.dirname(out) or tempfile.mkdtemp(prefix="scaling-probe-")
+    # probe runs have no store: put their shuffle dir on tmpfs too, else the
+    # probe measures the single virtio disk instead of the engine (same
+    # storage-scales-with-compute rationale as the pipeline's work dir)
+    probe_base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    base_dir = os.path.dirname(out) or tempfile.mkdtemp(
+        prefix="scaling-probe-", dir=probe_base
+    )
     local_dir = os.path.join(base_dir, f"sparklocal{cores}")
     mem_conf = []
     if mode == "local-cluster":
