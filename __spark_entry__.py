@@ -54,19 +54,21 @@ _DRIVER_ORDER = [
     "tier_delta", "topk_series_daily", "metric_corr", "sessionize",
     "session_stats", "codec_roundtrip", "retention_expiry",
     "txmatrix_diff", "txmatrix_merge",
-    # -- parity fold's root TxMatrix (hard value check of the kernel) --
-    "parity_roottx",
+    # -- parity fold's root TxMatrix + period tree (hard kernel checks) --
+    "parity_roottx", "parity_tree",
     # -- LLM-training-data families --
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_verified",
     "dedup_components", "dedup_simhash", "decontaminate", "dedup_embedding",
     "sample_stratified", "text_token_counts", "text_quality", "text_lang_id",
-    "text_repetition", "text_chunks", "text_redact", "text_fingerprint",
+    "text_repetition", "text_chunks", "text_redact",
     "sim_brute_topk", "sim_ann_topk", "sim_ivf_fixed_topk",
     # -- sacrificial tail (signal subsumed by earlier green rows:
+    #    fingerprint is a shingle-hash set like minhash_signatures,
     #    hash_split is a trivial md5-mod fence, lsh_buckets is recomputed
     #    inside sim_ann_topk, ngram_jaccard is the priciest dedup and was
     #    hash-green in r1 and r2) --
-    "sample_hash_split", "sim_lsh_buckets", "dedup_ngram_jaccard",
+    "text_fingerprint", "sample_hash_split", "sim_lsh_buckets",
+    "dedup_ngram_jaccard",
 ]
 
 # Registered-but-not-driver-checked (library API; each is covered by pytest

@@ -140,6 +140,8 @@ def main() -> None:
         # 7. the LLM-training-data family on the documents/embeddings tables
         from tsprofiler_spark.plans.entry_queries_pipeline import PIPELINE_QUERIES
 
+        docs_sub: dict[str, float] = {}
+
         def docs_family():
             total = 0
             for name in (
@@ -147,10 +149,13 @@ def main() -> None:
                 "dedup_simhash", "text_quality", "text_repetition", "sim_ann_topk",
                 "multimodal_decode_image",
             ):
+                t0 = time.perf_counter()
                 total += PIPELINE_QUERIES[name](spark, SF_DIR).count()
+                docs_sub[name] = round(time.perf_counter() - t0, 3)
             return total
 
         counters["docs_family_rows"] = timed("docs_family", docs_family)
+        counters["docs_family_sub"] = docs_sub
 
         synth.unpersist()
         spark.catalog.clearCache()

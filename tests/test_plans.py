@@ -144,3 +144,26 @@ def test_multi_metric_profile_end_to_end(spark, transcripts_path):
     sl = single.select(*key, "profile_json")
     ml = multi.where(F.col("metric") == "len_text").select(*key, "profile_json")
     assert sl.exceptAll(ml).count() == 0 and ml.exceptAll(sl).count() == 0
+
+
+def test_driver_contract_shape():
+    """The driver-facing registry: every entry has an oracle (zero
+    rows-only checks), names resolve, and the never-verified-in-r2 tail
+    (multimodal/predictor) plus the r2-red rebuilds lead the execution
+    order so a budget-truncated correctness gate still reaches them."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert list(q) == entry._DRIVER_ORDER
+    assert set(o) == set(q), "every registered query must be value-checked"
+    first10 = list(q)[:10]
+    for name in (
+        "multimodal_features", "predictor_likeliness", "series_stats",
+        "probe_series_stats", "text_pack_sequences", "probe_pack_tokens",
+    ):
+        assert name in first10, f"{name} must run before the heavy families"
+    # the sacrificial tail holds only queries whose signal earlier rows
+    # subsume; everything unique must sit inside the first 50
+    assert "parity_tree" in list(q)[:50]
+    assert "sim_ivf_fixed_topk" in list(q)[:50]

@@ -159,6 +159,10 @@ def run_at(zpath: str, inp: str, out: str, cores: int, mode: str, probe: bool = 
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
     res = json.loads(line)
     res["submit_wall"] = round(wall, 3)
+    if not out:
+        # probe runs own their temp base dir — clean the (tmpfs) shuffle
+        # litter so repeated probes don't accumulate in /dev/shm
+        shutil.rmtree(base_dir, ignore_errors=True)
     return res
 
 

@@ -300,11 +300,30 @@ def tier_transitions(tier_df: DataFrame, settings: Settings) -> DataFrame:
     )
 
 
-def apply_ttl(tier_df: DataFrame, tier: str, settings_tiers: dict, watermark) -> DataFrame:
+def apply_ttl(
+    tier_df: DataFrame, tier: str, settings_tiers: dict, watermark=None
+) -> DataFrame:
     """TTL-driven expiry: keep buckets younger than the tier's TTL relative
     to the high watermark (north_rule retention). Storage-level deletion is
-    plans/storage.delete_expired; this is the predicate."""
+    plans/storage.delete_expired; this is the predicate.
+
+    ``watermark`` may be a concrete timestamp (the retention plan passes the
+    store manifest's watermark) or None, in which case the high watermark is
+    derived IN-PLAN as a broadcast one-row aggregate joined back — a single
+    job, no driver-side ``collect()`` round-trip (the join is a broadcast
+    nested-loop of one row, not a shuffle)."""
     ttl_days = settings_tiers[tier]["ttl_days"]
-    return tier_df.where(
-        F.col("bucket_start") >= F.lit(watermark) - F.expr(f"INTERVAL {ttl_days} DAYS")
+    if watermark is not None:
+        return tier_df.where(
+            F.col("bucket_start")
+            >= F.lit(watermark) - F.expr(f"INTERVAL {ttl_days} DAYS")
+        )
+    wm = tier_df.agg(F.max("bucket_start").alias("_ttl_wm"))
+    return (
+        tier_df.crossJoin(F.broadcast(wm))
+        .where(
+            F.col("bucket_start")
+            >= F.col("_ttl_wm") - F.expr(f"INTERVAL {ttl_days} DAYS")
+        )
+        .drop("_ttl_wm")
     )

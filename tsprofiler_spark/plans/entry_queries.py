@@ -905,10 +905,11 @@ FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
 def q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = _tier_df(spark, sf_dir)
     t1m = tiers["1m"]
-    wm = t1m.agg(F.max("bucket_start")).collect()[0][0]
     from tsprofiler_spark.operators.rollup import apply_ttl
 
-    kept = apply_ttl(t1m, "1m", {"1m": {"ttl_days": 7}}, wm)
+    # watermark=None: derived in-plan (broadcast scalar agg) — ONE job, no
+    # driver collect() round-trip (r2 verdict hygiene note)
+    kept = apply_ttl(t1m, "1m", {"1m": {"ttl_days": 7}})
     return kept.select("conv_id", "tool", "role", "metric", "bucket_start", "n", "s1")
 
 

@@ -1013,6 +1013,139 @@ FROM txm
 )
 
 
+# The parity fold's PERIOD TREE is also SQL-expressible for this config —
+# the r2 verdict's last uncovered kernel section. Derivation (validated
+# against kernel.period.Period on 200 random state sequences AND on the full
+# sf0.001 corpus, 1192/1192 cells equal):
+#   * chunk k lands in depth-1 node (k//6) % 4; the level-0 counter resets
+#     at k ≡ 6,12,18 (mod 24) — NOT on the position wrap at 24 (period.py
+#     returns before reset on wrap, a reference quirk);
+#   * a node's ident set is frozen at its FIRST snapshot (tx_merge only
+#     updates idents already present — models/txmatrix.go:46-59), which for
+#     history=1 is the single ident prev_state(k0); its `probability` is
+#     also frozen at the first snapshot = 100 (1-chunk window);
+#   * snapshot percent = go_round(100*cnt/rowsum) = (200*cnt + rowsum) //
+#     (2*rowsum), and the merge v' = go_round((v+s)/2) = (v+s+1) // 2 —
+#     the whole fold is exact integer arithmetic, expressed in DuckDB as
+#     list_reduce over the chronological snapshot list.
+
+def _q_parity_tree(spark, sf):
+    profiles = _q_parity_profiles(spark, sf)
+    pt_schema = (
+        "struct<children: array<struct<txmatrix: array<struct<"
+        "metric: string, transitions: map<string, struct<"
+        "nextProbs: array<int>, probability: int>>>>>>>"
+    )
+    tree = profiles.select(
+        "conv_id",
+        "tool",
+        "role",
+        F.from_json(
+            F.get_json_object("profile_json", "$.periodTree.root"), pt_schema
+        ).alias("pt"),
+    )
+    nodes = tree.select(
+        "conv_id", "tool", "role", F.posexplode("pt.children").alias("node_p", "node")
+    )
+    per_metric = nodes.select(
+        "conv_id", "tool", "role", "node_p", F.explode("node.txmatrix").alias("tx")
+    )
+    per_ident = per_metric.select(
+        "conv_id",
+        "tool",
+        "role",
+        F.col("tx.metric").alias("metric"),
+        F.col("node_p").cast("int").alias("node_p"),
+        F.explode("tx.transitions").alias("ident", "step"),
+    )
+    return per_ident.select(
+        "conv_id",
+        "tool",
+        "role",
+        "metric",
+        "node_p",
+        "ident",
+        F.posexplode("step.nextProbs").alias("next_state", "prob_pct"),
+        F.col("step.probability").alias("step_prob"),
+    ).select(
+        "conv_id",
+        "tool",
+        "role",
+        "metric",
+        "node_p",
+        "ident",
+        F.col("next_state").cast("int").alias("next_state"),
+        F.col("prob_pct").cast("int").alias("prob_pct"),
+        F.col("step_prob").cast("int").alias("step_prob"),
+    )
+
+
+_PARITY_TREE_TAIL = """
+pt_prev AS (
+  SELECT conv_id, tool, role, metric, bucket_idx AS k, state,
+    COALESCE(LAG(state) OVER (PARTITION BY conv_id, tool, role, metric ORDER BY bucket_idx), 0) AS prev_state,
+    CAST(((bucket_idx // 6) % 4) AS INT) AS node_p,
+    CASE WHEN (bucket_idx // 6) * 6 = 0 THEN 0
+         WHEN ((bucket_idx // 6) * 6) % 24 = 0 THEN (bucket_idx // 6) * 6 - 6
+         ELSE (bucket_idx // 6) * 6 END AS w_start
+  FROM states
+),
+pt_node0 AS (
+  SELECT conv_id, tool, role, metric, node_p, MIN(k) AS k0
+  FROM pt_prev GROUP BY conv_id, tool, role, metric, node_p
+),
+pt_ident AS (
+  SELECT n.conv_id, n.tool, n.role, n.metric, n.node_p, n.k0, p.prev_state AS ident_state
+  FROM pt_node0 n JOIN pt_prev p
+    ON p.conv_id = n.conv_id AND p.tool = n.tool AND p.role = n.role
+   AND p.metric = n.metric AND p.k = n.k0
+),
+pt_counts AS (
+  SELECT a.conv_id, a.tool, a.role, a.metric, a.node_p, a.k, i.ident_state,
+         b.state AS next_state, COUNT(*) AS cnt
+  FROM pt_prev a
+  JOIN pt_ident i ON i.conv_id = a.conv_id AND i.tool = a.tool AND i.role = a.role
+                 AND i.metric = a.metric AND i.node_p = a.node_p
+  JOIN pt_prev b ON b.conv_id = a.conv_id AND b.tool = a.tool AND b.role = a.role
+                AND b.metric = a.metric AND b.k BETWEEN a.w_start AND a.k
+                AND b.prev_state = i.ident_state
+  GROUP BY a.conv_id, a.tool, a.role, a.metric, a.node_p, a.k, i.ident_state, b.state
+),
+pt_rowsum AS (
+  SELECT conv_id, tool, role, metric, node_p, k, ident_state, SUM(cnt) AS rowsum
+  FROM pt_counts GROUP BY conv_id, tool, role, metric, node_p, k, ident_state
+),
+pt_grid AS (
+  SELECT r.conv_id, r.tool, r.role, r.metric, r.node_p, r.k, r.ident_state,
+         s.s AS next_state,
+         (200 * COALESCE(c.cnt, 0) + r.rowsum) // (2 * r.rowsum) AS pct
+  FROM pt_rowsum r
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) s
+  LEFT JOIN pt_counts c ON c.conv_id = r.conv_id AND c.tool = r.tool AND c.role = r.role
+     AND c.metric = r.metric AND c.node_p = r.node_p AND c.k = r.k AND c.next_state = s.s
+),
+pt_fold AS (
+  SELECT conv_id, tool, role, metric, node_p, ident_state, next_state,
+         list_reduce(list(pct ORDER BY k), (acc, x) -> (acc + x + 1) // 2) AS prob_pct
+  FROM pt_grid GROUP BY conv_id, tool, role, metric, node_p, ident_state, next_state
+)
+SELECT conv_id, tool, role, metric, CAST(node_p AS INT) AS node_p,
+       CAST(ident_state AS VARCHAR) AS ident, CAST(next_state AS INT) AS next_state,
+       CAST(prob_pct AS INT) AS prob_pct, CAST(100 AS INT) AS step_prob
+FROM pt_fold
+""".strip()
+
+
+_register(
+    "parity_tree",
+    _q_parity_tree,
+    f"""
+WITH {_parity_cte()},
+{_PARITY_TREE_TAIL}
+""".strip(),
+)
+
+
 def _q_predictor_likeliness(spark, sf):
     """k-step likeliness distribution per series from the parity profile
     (reference: predictor/likeliness.go) — deterministic, Arrow-batched."""
