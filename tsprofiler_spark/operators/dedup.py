@@ -291,19 +291,24 @@ def dedup_components(
     The step after LSH in a real dedup pipeline: candidate pairs (doc_a,
     doc_b) form an undirected graph; every document in a component keeps
     the component's min doc_id as its canonical ``keeper_id`` (singletons
-    keep themselves). Emits (doc_id, keeper_id, is_keeper).
+    keep themselves). Emits (doc_id, keeper_id, is_keeper). Pair endpoints
+    must be drawn from ``documents`` (always true for LSH candidates over
+    the same corpus).
 
     Algorithm: iterative min-label propagation — each round every node
     takes the min label among itself and its neighbors; converges in
     O(graph diameter) rounds (near-dup clusters are shallow: diameter is
-    typically 2-4, never the corpus). Each round is one co-partitioned
-    join + one groupBy on doc_id; the edge table is the small LSH-candidate
-    output, not the corpus, so rounds are cheap and the corpus itself is
-    touched once at the end. The driver-side loop is control plane only
-    (a one-row convergence aggregate per round); at 10^9+ docs swap the
-    propagation for the alternating large-star/small-star contraction
-    (Kiveris et al., "Connected Components in MapReduce"), which bounds
-    rounds at O(log n) under heavy skew — same output contract.
+    typically 2-4, never the corpus). Only nodes that appear in a
+    candidate pair can ever change label — singletons are fixed points —
+    so the loop iterates over the TOUCHED SUBGRAPH only (|nodes in pairs|,
+    typically a sliver of the corpus at real dup rates) and the corpus is
+    joined back exactly once at the end. Each round is one co-partitioned
+    join + one groupBy on doc_id over that sliver. The driver-side loop is
+    control plane only (a one-row convergence aggregate per round); at
+    10^9+ docs swap the propagation for the alternating large-star/
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce"), which bounds rounds at O(log n) under heavy skew — same
+    output contract.
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
@@ -315,7 +320,11 @@ def dedup_components(
         .distinct()
     )
     edges.persist()
-    labels = documents.select("doc_id", F.col("doc_id").alias("comp"))
+    # the union above emits every paired node on BOTH sides, so distinct
+    # src == the touched-node set; everything else keeps itself untouched
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("comp")
+    )
     changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
@@ -361,10 +370,17 @@ def dedup_components(
     # generation (unpersisting here would force a full loop-lineage
     # recompute on first use); callers that run many resolutions in one
     # session should materialize the result and clear the cache.
-    return labels.select(
+    # One corpus-wide pass: untouched docs (the vast majority) keep
+    # themselves. The resolved-label side is the candidate subgraph —
+    # usually small enough that AQE turns this into a broadcast join (not
+    # forced: at pathological dup rates the subgraph can outgrow the
+    # driver, and a shuffle join is then the right plan).
+    return documents.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id",
-        F.col("comp").alias("keeper_id"),
-        (F.col("comp") == F.col("doc_id")).cast("int").alias("is_keeper"),
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("keeper_id"),
+        (F.coalesce(F.col("comp"), F.col("doc_id")) == F.col("doc_id"))
+        .cast("int")
+        .alias("is_keeper"),
     )
 
 
