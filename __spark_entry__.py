@@ -62,6 +62,7 @@ _DRIVER_ORDER = [
     "sample_stratified", "text_token_counts", "text_quality", "text_lang_id",
     "text_repetition", "text_chunks", "text_redact",
     "sim_brute_topk", "sim_ann_topk", "sim_ivf_fixed_topk",
+    "sim_ivf_kmeans_topk",
     # -- sacrificial tail (signal subsumed by earlier green rows:
     #    fingerprint is a shingle-hash set like minhash_signatures,
     #    hash_split is a trivial md5-mod fence, lsh_buckets is recomputed
@@ -72,8 +73,10 @@ _DRIVER_ORDER = [
 ]
 
 # Registered-but-not-driver-checked (library API; each is covered by pytest
-# and/or a value-checked twin): sim_ivf_topk (KMeans is not SQL; twin
-# sim_ivf_fixed_topk value-checks the probe/assign/score path),
+# and/or a value-checked twin): sim_ivf_topk (float MLlib KMeans is not
+# SQL-replayable; sim_ivf_kmeans_topk value-checks a LEARNED-quantizer IVF
+# end-to-end via integer-exact Lloyd's, and sim_ivf_fixed_topk the
+# probe/assign/score path),
 # parity_profiles (period tree/phase JSON is a sequential fold; the root
 # matrix is hash-checked by parity_roottx, the tree by golden pytest),
 # predictor_simulate (seeded RNG; deterministic twin predictor_simulate_det

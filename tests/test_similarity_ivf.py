@@ -37,3 +37,32 @@ def test_ivf_deterministic(spark, embs):
     a = sorted(map(tuple, ivf_topk(embs, k=5, query_mod=100, seed=7).collect()))
     b = sorted(map(tuple, ivf_topk(embs, k=5, query_mod=100, seed=7).collect()))
     assert a == b
+
+
+def test_kmeans_integer_ivf_recall_and_grid(spark, embs):
+    """The oracle-checkable quantizer: centroids live on the 1e-6 grid
+    (so c*1e6 round-trips to an exact integer), the learned-quantizer IVF
+    beats chance recall, and repeated training is bit-identical (exact
+    integer arithmetic -> no partitioning sensitivity)."""
+    from tsprofiler_spark.operators.similarity import kmeans_integer
+
+    cents = kmeans_integer(embs, n_centroids=8, iters=3).collect()
+    assert len(cents) == 8
+    for r in cents:
+        assert len(r.centroid) == 64
+        for c in r.centroid:
+            assert c == round(c * 1e6) / 1e6
+
+    exact = _neighbors(brute_force_topk(embs, k=10, query_mod=100))
+    cdf = kmeans_integer(embs, n_centroids=8, iters=3)
+    approx = _neighbors(ivf_topk(embs, k=10, query_mod=100, n_probe=3, centroids=cdf))
+    assert set(approx) == set(exact)
+    recalls = [len(approx[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+    again = sorted(
+        (r.centroid_id, tuple(r.centroid))
+        for r in kmeans_integer(embs.repartition(7), n_centroids=8, iters=3).collect()
+    )
+    first = sorted((r.centroid_id, tuple(r.centroid)) for r in cents)
+    assert again == first

@@ -188,6 +188,98 @@ def ivf_index(
     return assigned, centroids
 
 
+def kmeans_integer(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-exact seeded Lloyd's KMeans — an oracle-checkable IVF
+    coarse quantizer.
+
+    MLlib's KMeans (`ivf_index`) is seeded-deterministic, but its
+    iterative float math can't be replayed in SQL, leaving that training
+    step outside the value-check. This variant makes TRAINING itself
+    cross-engine exact so the whole IVF path (train → assign → probe →
+    score) is relational-oracle-checkable:
+
+    * vectors quantize to micro-units ``floor(x*1e6 + 0.5)`` as BIGINT —
+      every distance is an exact integer sum of squares;
+    * init = the ``n_centroids`` vectors ranking first by
+      ``(h32(vec_id), vec_id)`` — a deterministic "random" seed draw;
+    * each Lloyd round assigns to the nearest centroid (squared L2, ties
+      on centroid_id) and recomputes centroids as the floor-division mean
+      (Python ``s // n`` == SQL ``(s - pmod(s, n)) div n`` — exact BIGINT
+      at any scale, no float mean), so centroids stay on the integer grid;
+      empty clusters keep their previous centroid.
+
+    Scale shape: each round is ONE map-side-combining hash aggregate over
+    the corpus (COUNT + 64 per-dim SUMs per centroid; the assignment is a
+    pure JVM expression over broadcast-literal centroids — no join, no
+    vector shuffle); only the k×dim-int centroid table reaches the driver,
+    the same aggregate-collect control loop MLlib itself runs. Returns
+    (centroid_id int, centroid array<double>) with centroid =
+    micro-units / 1e6 (one IEEE division — exact to reproduce in SQL).
+    """
+    base = _spread(embeddings).select(
+        "vec_id",
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint"),
+        ).alias("eu"),
+    )
+    seed_rows = (
+        base.select("vec_id", "eu", h32(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    seed_rows = sorted(seed_rows, key=lambda r: (r["h"], r["vec_id"]))
+    cents = [[int(v) for v in r["eu"]] for r in seed_rows]
+
+    base = base.persist()
+    try:
+        for _ in range(iters):
+            d2s = [
+                F.aggregate(
+                    F.zip_with(
+                        F.col("eu"),
+                        F.array(*[F.lit(c).cast("bigint") for c in cu]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                )
+                for cu in cents
+            ]
+            arr = F.array(*d2s)
+            assigned = base.select(
+                "eu",
+                (F.array_position(arr, F.array_min(arr)) - 1)
+                .cast("int")
+                .alias("centroid_id"),
+            )
+            agg = assigned.groupBy("centroid_id").agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("eu")[d]).alias(f"s{d}") for d in range(dim)],
+            ).collect()
+            new = {
+                int(r["centroid_id"]): [int(r[f"s{d}"]) // int(r["n"]) for d in range(dim)]
+                for r in agg
+            }
+            cents = [new.get(j, cents[j]) for j in range(n_centroids)]
+    finally:
+        base.unpersist()
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(j, [c / scale for c in cu]) for j, cu in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+
+
 def assign_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (squared euclidean, ties on centroid_id)
     against a broadcast centroid table — the inverted-list build step when

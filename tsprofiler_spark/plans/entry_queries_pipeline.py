@@ -761,17 +761,117 @@ SELECT keep_id, dup_id, ROUND(cos, 6) AS cosine FROM pairs WHERE cos >= 0.97
 )
 
 
-def _q_sim_ivf_topk(spark, sf):
-    """IVF ANN (KMeans coarse quantizer + inverted-list probe; seeded →
-    deterministic, but KMeans is iterative/non-SQL → rows-only check here;
-    recall + determinism pinned in test_similarity_ivf.py. The SQL-checked
-    variant of the identical probe/assign/score path is sim_ivf_fixed_topk)."""
-    from tsprofiler_spark.operators.similarity import ivf_topk
+def _q_sim_ivf_kmeans_topk(spark, sf):
+    """IVF ANN with a LEARNED coarse quantizer, fully value-checked: the
+    integer-exact seeded Lloyd's KMeans (kmeans_integer) keeps training on
+    the BIGINT micro-unit grid (exact distances, floor-division means), so
+    DuckDB replays the entire path — seed draw, every Lloyd round, final
+    assignment, probe ranking, bucket-local scoring — bit-for-bit. The
+    MLlib-KMeans variant (ivf_index/ivf_topk default) stays library API,
+    pinned by test_similarity_ivf.py (float KMeans isn't SQL-replayable)."""
+    from tsprofiler_spark.operators.similarity import ivf_topk, kmeans_integer
 
-    return ivf_topk(_embs(spark, sf), k=10, query_mod=100, n_centroids=8, n_probe=3)
+    embs = _embs(spark, sf)
+    cents = kmeans_integer(embs, n_centroids=8, iters=3)
+    return ivf_topk(embs, k=10, query_mod=100, n_probe=3, centroids=cents)
 
 
-_register("sim_ivf_topk", _q_sim_ivf_topk)
+def _ivf_kmeans_oracle(n_centroids=8, iters=3, dim=64, n_probe=3, k=10, query_mod=100):
+    """Unrolled Lloyd's KMeans + IVF probe/score as DuckDB CTEs.
+
+    Mirrors kmeans_integer exactly: micro-unit quantization, (h32, vec_id)
+    seed draw, integer squared-L2 assignment with centroid_id tie-break,
+    floor-division mean ((s - pmod(s,n)) // n == Python s // n), empty
+    clusters keeping the previous centroid via LEFT JOIN + COALESCE."""
+    h = h32_sql_duckdb("CAST(vec_id AS STRING)")
+    parts = [
+        f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ebu AS (
+  SELECT vec_id, [CAST(FLOOR(e * 1000000 + 0.5) AS BIGINT) for e in emb] AS eu
+  FROM base
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS centroid_id, eu AS cu
+  FROM (SELECT vec_id, eu, {h} AS h FROM ebu)
+  QUALIFY centroid_id <= {n_centroids - 1}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_sum([(e.eu[d] - c.cu[d]) * (e.eu[d] - c.cu[d]) for d in generate_series(1, {dim})]),
+        c.centroid_id) AS rn
+    FROM ebu e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+m{t} AS (
+  SELECT a.centroid_id, ds.d, SUM(e.eu[ds.d]) AS s, COUNT(*) AS n
+  FROM a{t} a JOIN ebu e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS d) ds
+  GROUP BY a.centroid_id, ds.d
+),
+c{t} AS (
+  SELECT p.centroid_id, COALESCE(g.cu, p.cu) AS cu
+  FROM {prev} p LEFT JOIN (
+    SELECT centroid_id,
+      list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY d) AS cu
+    FROM m{t} GROUP BY centroid_id
+  ) g USING (centroid_id)
+)"""
+        )
+    parts.append(
+        f""",
+cent AS (SELECT centroid_id, [c / 1000000.0 for c in cu] AS centroid FROM c{iters}),
+assign0 AS (
+  SELECT b.vec_id, c.centroid_id,
+    list_sum([pow(b.emb[d] - c.centroid[d], 2) for d in generate_series(1, {dim})]) AS d2
+  FROM base b CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id % {query_mod} = 0),
+probes AS (
+  SELECT query_id, q_emb, centroid_id FROM (
+    SELECT q.query_id, q.q_emb, c.centroid_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.q_emb, c.centroid)
+                 / (1e-12 + sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                 c.centroid_id
+      ) AS probe_rank
+    FROM q CROSS JOIN cent c
+  ) WHERE probe_rank <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+    list_dot_product(p.q_emb, b.emb)
+      / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+  FROM probes p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN base b ON b.vec_id = a.vec_id
+  WHERE b.vec_id != p.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+    )
+    return "".join(parts).strip()
+
+
+_register("sim_ivf_kmeans_topk", _q_sim_ivf_kmeans_topk, _ivf_kmeans_oracle())
 
 
 def _q_sim_ivf_fixed_topk(spark, sf):
