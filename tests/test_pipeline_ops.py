@@ -158,6 +158,14 @@ def test_dedup_components_resolves_chains(spark, docs):
     assert out[7] == (7, 1)  # singleton
     assert len(out) == 100
 
+    # the distributed label-propagation path (small_graph_edges=0 forces it)
+    # must produce exactly the union-find result
+    dist = {
+        r.doc_id: (r.keeper_id, r.is_keeper)
+        for r in dedup_components(nodes, pairs, small_graph_edges=0).collect()
+    }
+    assert dist == out
+
     # on the corpus: every planted exact dup resolves to its original
     corpus = dedup_components(docs, minhash_candidates(docs, k=12))
     res = {r.doc_id: r.keeper_id for r in corpus.collect()}
@@ -330,8 +338,11 @@ def test_dedup_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup_components(nodes, chain, max_iterations=3)
+        dedup_components(nodes, chain, max_iterations=3, small_graph_edges=0)
     # with enough rounds the same chain resolves to one keeper
     out = {r.doc_id: r.keeper_id for r in
-           dedup_components(nodes, chain, max_iterations=n).collect()}
+           dedup_components(nodes, chain, max_iterations=n, small_graph_edges=0).collect()}
     assert out == {i: 0 for i in range(n)}
+    # the default small-graph union-find needs no rounds at all
+    uf = {r.doc_id: r.keeper_id for r in dedup_components(nodes, chain).collect()}
+    assert uf == out

@@ -23,9 +23,9 @@ from tsprofiler_spark.functions.hashing import h32
 from tsprofiler_spark.functions.spread import spread
 
 
-def _word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column (size - n + 1
-    shingles; empty array for texts shorter than n words)."""
+def _word_shingles_multi(text_col, n: int = 3):
+    """Word n-gram shingles as an array column, duplicates kept (size - n
+    + 1 shingles; empty array for texts shorter than n words)."""
     words = F.split(F.lower(text_col), " ")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(words) - n),
@@ -33,9 +33,14 @@ def _word_shingles(text_col, n: int = 3):
             " ", *[F.element_at(words, i + F.lit(j + 1)) for j in range(n)]
         ),
     )
-    return F.array_distinct(
-        F.when(F.size(words) >= n, shingles).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(words) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
+
+
+def _word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles (set semantics for Jaccard)."""
+    return F.array_distinct(_word_shingles_multi(text_col, n))
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -49,31 +54,71 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 _spread = spread  # shared helper: see functions/spread.py
 
 
-def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    return _spread(documents).select(
-        "doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle")
+def doc_shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) stream. ``distinct=True`` (set semantics) is what
+    Jaccard set sizes need; min-aggregations (MinHash) are multiset-
+    invariant and pass False to skip the per-doc array_distinct sort."""
+    col = _word_shingles(F.col("text"), n) if distinct else _word_shingles_multi(
+        F.col("text"), n
     )
+    return _spread(documents).select("doc_id", F.explode(col).alias("shingle"))
+
+
+MERSENNE_P = 2147483647  # 2^31 - 1: universal-hash modulus
+
+
+def uhash_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for the universal hash family
+    ``h_j(x) = (a_j * x + b_j) mod p`` — drawn from md5 (the repo's
+    cross-engine h32) of fixed seeds, so Spark literals and oracle SQL
+    share one source of truth. a_j in [1, p-1], b_j in [0, p-1]."""
+    import hashlib
+
+    def hi(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        (
+            1 + hi(f"minhash-a:{j}") % (MERSENNE_P - 1),
+            hi(f"minhash-b:{j}") % MERSENNE_P,
+        )
+        for j in range(k)
+    ]
 
 
 def minhash_signatures(documents: DataFrame, k: int = 12, n: int = 3) -> DataFrame:
-    """k MinHash values per doc: min over shingles of h32(j || ':' || shingle).
+    """k MinHash values per doc via ONE content hash per shingle plus a
+    universal-hash family: minhash_j = min over shingles of
+    ``(a_j * h32(shingle) mod p + b_j) mod p`` (p = 2^31-1).
 
-    Shuffle profile: one explode + one groupBy(doc_id) — linear in corpus
-    size, independent of pair count.
+    Shuffle/CPU profile: one explode + ONE groupBy(doc_id) carrying k
+    partial mins (map-side combine) — the corpus is hashed ONCE per
+    shingle (not k times: the classic k-independent-md5 formulation costs
+    k× the hashing AND k× the pre-combine rows; at 100 TB that factor is
+    most of the job), and no (shingle × j) row explosion ever exists. The
+    (doc_id, j, minhash) long form is a post-aggregation stack of k
+    columns — k×fewer shuffled rows.
     """
-    sh = doc_shingles(documents, n)
-    hashed = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.lit(j) for j in range(k)])
-        ).alias("j"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "j",
-        h32(F.concat_ws(":", F.col("j").cast("string"), F.col("shingle"))).alias("h"),
+    mins = _minhash_wide(documents, k, n)
+    stack_args = ", ".join(f"{j}, m{j}" for j in range(k))
+    return mins.select(
+        "doc_id", F.expr(f"stack({k}, {stack_args})").alias("j", "minhash")
     )
-    return hashed.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+
+
+def _minhash_wide(documents: DataFrame, k: int = 12, n: int = 3) -> DataFrame:
+    """(doc_id, m0..m{k-1}) — the one-groupBy wide form the long signature
+    and the band projection both derive from."""
+    sh = doc_shingles(documents, n, distinct=False)
+    hashed = sh.select(
+        "doc_id", (h32(F.col("shingle")) % MERSENNE_P).alias("h")
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a}L * h + {b}L) % {MERSENNE_P}L")).alias(f"m{j}")
+            for j, (a, b) in enumerate(uhash_consts(k))
+        ]
+    )
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
@@ -94,8 +139,35 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
 
 
 def minhash_candidates(documents: DataFrame, k: int = 12, rows_per_band: int = 3) -> DataFrame:
-    """Candidate near-dup pairs from LSH bucket joins (a < b)."""
-    bands = lsh_bands(minhash_signatures(documents, k), rows_per_band)
+    """Candidate near-dup pairs from LSH bucket joins (a < b).
+
+    Bands project straight off the wide signature (band_hash = the band's
+    min-columns joined in j order — identical to lsh_bands' output), so the
+    whole candidate path is ONE groupBy + one bucket self-join; the long
+    (doc_id, j) stack and its re-aggregation never materialize.
+    """
+    mins = _minhash_wide(documents, k)
+    n_bands = k // rows_per_band
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"m{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
     left = bands.alias("a")
     right = bands.alias("b")
     pairs = (
@@ -114,47 +186,29 @@ def minhash_candidates(documents: DataFrame, k: int = 12, rows_per_band: int = 3
 def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per bit, sign-sum of token-hash bits.
 
-    Shuffle profile: ONE groupBy(doc_id) moving one 8-byte hash per token.
-    The per-bit ±1 sign sums fold JVM-side over the collected hash list
-    (`aggregate` + `zip_with` elementwise array add) — no per-bit row
-    explosion. The naive formulation (explode token × bit, double groupBy)
-    shuffles 32× the rows for the same fingerprint; at 100 TB that factor
-    IS the job cost.
-
-    A token list for one document is bounded by document size (collect_list
-    is per-doc, not per-corpus), so executor memory is safe at scale.
+    Shuffle profile: ONE groupBy(doc_id) carrying ``bits`` partial sign
+    sums (map-side combine): s_b = SUM(bit_b(h) ? +1 : -1) as plain SUM
+    aggregates — fully inside whole-stage codegen. The two rejected
+    formulations both lose at 100 TB: exploding token × bit shuffles
+    ``bits``× the rows, and collect_list + a per-element array fold leaves
+    codegen for interpreted lambda evaluation (token_count × bits lambda
+    calls — measured ~3× the whole job). Exact integers, so the
+    fingerprint is engine-reproducible.
     """
     tokens = _spread(documents).select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).where(F.col("token") != "")
     hashed = tokens.select("doc_id", h32(F.col("token")).alias("h"))
-    agg = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
-
-    bit_seq = F.sequence(F.lit(0), F.lit(bits - 1))
-    zeros = F.transform(bit_seq, lambda b: F.lit(0).cast("bigint"))
-    sign_sums = F.aggregate(
-        F.col("hs"),
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            bit_seq,
-            lambda a, b: a
-            + F.when(
-                (F.floor(h / F.pow(F.lit(2.0), b)).cast("bigint") % 2) == 1,
-                F.lit(1).cast("bigint"),
-            ).otherwise(F.lit(-1).cast("bigint")),
-        ),
+    agg = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END")).alias(
+                f"s{b}"
+            )
+            for b in range(bits)
+        ]
     )
-    fingerprint = F.aggregate(
-        F.zip_with(
-            sign_sums,
-            bit_seq,
-            lambda s, b: F.when(s > 0, F.pow(F.lit(2.0), b).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    fingerprint = F.expr(
+        " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(bits))
     )
     return agg.select("doc_id", fingerprint.alias("simhash"))
 
@@ -285,6 +339,7 @@ def dedup_components(
     documents: DataFrame,
     pairs: DataFrame,
     max_iterations: int = 20,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected-components keeper resolution over near-dup candidate pairs.
 
@@ -295,20 +350,28 @@ def dedup_components(
     must be drawn from ``documents`` (always true for LSH candidates over
     the same corpus).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min label among itself and its neighbors; converges in
-    O(graph diameter) rounds (near-dup clusters are shallow: diameter is
-    typically 2-4, never the corpus). Only nodes that appear in a
-    candidate pair can ever change label — singletons are fixed points —
-    so the loop iterates over the TOUCHED SUBGRAPH only (|nodes in pairs|,
-    typically a sliver of the corpus at real dup rates) and the corpus is
-    joined back exactly once at the end. Each round is one co-partitioned
-    join + one groupBy on doc_id over that sliver. The driver-side loop is
-    control plane only (a one-row convergence aggregate per round); at
-    10^9+ docs swap the propagation for the alternating large-star/
-    small-star contraction (Kiveris et al., "Connected Components in
-    MapReduce"), which bounds rounds at O(log n) under heavy skew — same
-    output contract.
+    Algorithm: only nodes that appear in a candidate pair can ever change
+    label — singletons are fixed points — so resolution runs over the
+    TOUCHED SUBGRAPH only (|nodes in pairs|, typically a sliver of the
+    corpus at real dup rates) and the corpus is joined back exactly once
+    at the end. The subgraph's measured edge count picks the strategy:
+
+    * ``<= small_graph_edges`` (the common case even for 10^9-doc corpora
+      at real dup rates): union-find on the driver — the edge list is a
+      few dozen MB, resolution is O(E α(E)) microseconds-per-edge, and it
+      replaces 2+ distributed rounds (each a join + groupBy + convergence
+      job) with zero. Same move GraphFrames makes for its small-graph
+      path; the corpus itself NEVER reaches the driver.
+    * larger: iterative min-label propagation — each round every node
+      takes the min label among itself and its neighbors; converges in
+      O(graph diameter) rounds (near-dup clusters are shallow: diameter
+      is typically 2-4, never the corpus). Each round is one
+      co-partitioned join + one groupBy on doc_id over the sliver; the
+      driver-side loop is control plane only (a one-row convergence
+      aggregate per round). At 10^9+ EDGES swap the propagation for the
+      alternating large-star/small-star contraction (Kiveris et al.,
+      "Connected Components in MapReduce"), which bounds rounds at
+      O(log n) under heavy skew — same output contract.
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
@@ -319,7 +382,49 @@ def dedup_components(
         )
         .distinct()
     )
-    edges.persist()
+    edges_cached = edges
+    edges_cached.persist()
+    # Size the loop's task count from the MEASURED subgraph (the count also
+    # fills the edge cache, which round 1 would pay anyway): the distinct
+    # above materializes at the session's shuffle width, and iterating a
+    # 500-edge graph over 128 cached partitions spends the whole round on
+    # task scheduling (~2 s/round measured). AQE coalesces reducers but not
+    # the cached map side; a narrow coalesce fixes both. Giant graphs keep
+    # full parallelism (~1M edges/task).
+    n_edges = edges_cached.count()
+    spark = documents.sparkSession
+
+    if n_edges <= small_graph_edges:
+        # driver-side union-find over the candidate subgraph (see docstring)
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # collect, not toLocalIterator: the gate bounds this at
+        # small_graph_edges rows (~tens of MB), and toLocalIterator runs
+        # one sequential job per partition
+        for r in edges_cached.collect():
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        edges_cached.unpersist()
+        # nodes never attached (component minima) keep themselves via the
+        # left join's coalesce — only attached nodes need label rows
+        resolved = [(node, find(node)) for node in list(parent)]
+        dtype = documents.schema["doc_id"].dataType.simpleString()
+        labels = spark.createDataFrame(resolved, f"doc_id {dtype}, comp {dtype}")
+        return _keeper_join(documents, labels)
+
+    parallelism = spark.sparkContext.defaultParallelism
+    parts = int(min(parallelism, n_edges // 1_000_000 + 1))
+    if parts < parallelism:
+        edges = edges_cached.coalesce(parts)
     # the union above emits every paired node on BOTH sides, so distinct
     # src == the touched-node set; everything else keeps itself untouched
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
@@ -354,7 +459,7 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    edges_cached.unpersist()
     if changed != 0:
         # running out of rounds means some component's labels are still
         # intermediate — silently returning them would split components
@@ -370,11 +475,15 @@ def dedup_components(
     # generation (unpersisting here would force a full loop-lineage
     # recompute on first use); callers that run many resolutions in one
     # session should materialize the result and clear the cache.
-    # One corpus-wide pass: untouched docs (the vast majority) keep
-    # themselves. The resolved-label side is the candidate subgraph —
-    # usually small enough that AQE turns this into a broadcast join (not
-    # forced: at pathological dup rates the subgraph can outgrow the
-    # driver, and a shuffle join is then the right plan).
+    return _keeper_join(documents, labels)
+
+
+def _keeper_join(documents: DataFrame, labels: DataFrame) -> DataFrame:
+    """One corpus-wide pass: untouched docs (the vast majority) keep
+    themselves. The resolved-label side is the candidate subgraph —
+    usually small enough that AQE turns this into a broadcast join (not
+    forced: at pathological dup rates the subgraph can outgrow the
+    driver, and a shuffle join is then the right plan)."""
     return documents.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("comp"), F.col("doc_id")).alias("keeper_id"),
@@ -416,7 +525,7 @@ def embedding_near_dups(
     ).select(
         F.col("a.vec_id").alias("keep_id"),
         F.col("c.vec_id").alias("dup_id"),
-        cosine_expr(F.col("a.emb"), F.col("c.emb")).alias("cosine"),
+        cosine_expr("a.emb", "c.emb").alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold).select(
         "keep_id", "dup_id", F.round("cosine", 6).alias("cosine")

@@ -25,19 +25,49 @@ def _as_double(col):
 
 _spread = spread  # shared helper: see functions/spread.py
 
+# All dot/norm/distance kernels below unroll to FLAT arithmetic parsed
+# from ONE SQL string instead of aggregate(zip_with(...)) folds or
+# Python-composed Column trees. Two measured costs motivate this: Spark
+# evaluates higher-order-function lambdas interpreted per element (outside
+# whole-stage codegen — 5.3 s for 8-plane signatures over just 2,000
+# vectors), and composing the ~2,000-node flat tree Column-by-Column from
+# Python pays a py4j JVM round-trip per node (~4 s per query just to BUILD
+# the plan). A single F.expr string is one py4j call and the parsed tree
+# compiles into the codegen stage. Bit-identical to the fold: same
+# left-to-right add order ("a + b + c" parses left-associative), and the
+# fold's 0.0 seed is an IEEE no-op (0.0 + x == x for every x except -0.0,
+# where only the sign of an all-zero total can differ — rank ties and
+# integer canonicalization are unaffected). Kernels take SQL fragments
+# (column names / dotted refs), not Column objects.
+_DIM = 64
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+
+def _dot_sql(a: str, b: str, dim: int = _DIM) -> str:
+    return " + ".join(f"({a}[{d}] * {b}[{d}])" for d in range(dim))
+
+
+def _sq_sql(a: str, dim: int = _DIM) -> str:
+    return " + ".join(f"({a}[{d}] * {a}[{d}])" for d in range(dim))
+
+
+def _dot(a: str, b: str, dim: int = _DIM):
+    return F.expr(_dot_sql(a, b, dim))
+
+
+def _norm(a: str, dim: int = _DIM):
+    return F.expr(f"sqrt({_sq_sql(a, dim)})")
+
+
+def _sq_l2(a: str, b: str, dim: int = _DIM):
+    return F.expr(
+        " + ".join(f"(({a}[{d}] - {b}[{d}]) * ({a}[{d}] - {b}[{d}]))" for d in range(dim))
     )
 
 
-def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-
-
-def cosine_expr(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine_expr(a: str, b: str, dim: int = _DIM):
+    return F.expr(
+        f"({_dot_sql(a, b, dim)}) / (sqrt({_sq_sql(a, dim)}) * sqrt({_sq_sql(b, dim)}))"
+    )
 
 
 def brute_force_topk(
@@ -60,7 +90,7 @@ def brute_force_topk(
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_expr(F.col("q_emb"), F.col("emb")).alias("cosine"),
+        cosine_expr("q_emb", "emb").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -77,28 +107,30 @@ def brute_force_topk(
     )
 
 
-def _plane_weight(plane: int, dim: int):
-    """Deterministic pseudo-random weight in [-1, 1): (h32 % 2001 - 1000)/1000."""
-    h = h32(F.concat_ws("-", F.lit(str(plane)), F.lit(str(dim))))
-    return ((h % 2001) - 1000) / F.lit(1000.0)
+def _plane_weight(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1): (h32 % 2001 - 1000)/1000.
+
+    Computed driver-side (hashlib md5 == the JVM/DuckDB h32: first 8 hex
+    chars as uint32) so planes reach the executors as folded double
+    literals inside the codegen stage, not per-row md5 expressions."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}-{dim}".encode()).hexdigest()[:8], 16)
+    return ((h % 2001) - 1000) / 1000.0
 
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 12, dim: int = 64) -> DataFrame:
     """Random-hyperplane signature as a bucket integer per vector."""
     base = _spread(embeddings).select("vec_id", _as_double(F.col("embedding")).alias("emb"))
-    bucket = None
+    # one SQL string per signature: repr() round-trips each weight double
+    # exactly, and the D suffix keeps the parser off DECIMAL literals
+    bits = []
     for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("emb"),
-                F.array(*[_plane_weight(p, d) for d in range(dim)]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        dot = " + ".join(
+            f"(emb[{d}] * ({_plane_weight(p, d)!r}D))" for d in range(dim)
         )
-        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = F.expr(" + ".join(bits))
     return base.select("vec_id", bucket.cast("bigint").alias("bucket"))
 
 
@@ -141,7 +173,7 @@ def ann_topk(
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_expr(F.col("q_emb"), F.col("emb")).alias("cosine"),
+        cosine_expr("q_emb", "emb").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -242,18 +274,15 @@ def kmeans_integer(
     base = base.persist()
     try:
         for _ in range(iters):
-            d2s = [
-                F.aggregate(
-                    F.zip_with(
-                        F.col("eu"),
-                        F.array(*[F.lit(c).cast("bigint") for c in cu]),
-                        lambda x, c: (x - c) * (x - c),
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v,
+            def _d2(cu):
+                return F.expr(
+                    " + ".join(
+                        f"((eu[{d}] - {c}L) * (eu[{d}] - {c}L))"
+                        for d, c in enumerate(cu)
+                    )
                 )
-                for cu in cents
-            ]
+
+            d2s = [_d2(cu) for cu in cents]
             arr = F.array(*d2s)
             assigned = base.select(
                 "eu",
@@ -288,13 +317,8 @@ def assign_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
     ``base`` = (vec_id, emb array<double>); ``centroids`` = (centroid_id,
     centroid array<double>).
     """
-    d2 = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = base.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "centroid_id", d2.alias("d2")
+        "vec_id", "centroid_id", _sq_l2("emb", "centroid").alias("d2")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("centroid_id"))
     return (
@@ -341,8 +365,8 @@ def ivf_topk(
         "query_id",
         "q_emb",
         "centroid_id",
-        _dot(F.col("q_emb"), F.col("centroid")).alias("qc_dot"),
-        _norm(F.col("centroid")).alias("c_norm"),
+        _dot("q_emb", "centroid").alias("qc_dot"),
+        _norm("centroid").alias("c_norm"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         (F.col("qc_dot") / (F.lit(1e-12) + F.col("c_norm"))).desc(),
@@ -360,7 +384,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_expr(F.col("q_emb"), F.col("emb")).alias("cosine"),
+        cosine_expr("q_emb", "emb").alias("cosine"),
     )
     w_k = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -88,18 +88,30 @@ FROM documents GROUP BY md5(text)
 
 # --- minhash signatures + LSH candidates ---------------------------------------
 
-_H_SHINGLE = h32_sql_duckdb("CAST(j AS STRING) || ':' || shingle")
+# shared minhash CTE: one h32 per shingle + the universal-hash family
+# (same (a_j, b_j) literals as operators/dedup.uhash_consts — one source)
+from tsprofiler_spark.operators.dedup import MERSENNE_P as _P31
+from tsprofiler_spark.operators.dedup import uhash_consts as _uhash_consts
+
+_UH_VALUES = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(_uhash_consts(12))
+)
+_SIGS_CTE = f"""hs AS (
+  SELECT doc_id, {h32_sql_duckdb("shingle")} % {_P31} AS h FROM sh
+),
+uh(j, a, b) AS (SELECT * FROM (VALUES {_UH_VALUES})),
+sigs AS (
+  SELECT doc_id, j, MIN((a * h + b) % {_P31}) AS minhash
+  FROM hs CROSS JOIN uh GROUP BY doc_id, j
+)"""
 
 _register(
     "dedup_minhash_signatures",
     lambda spark, sf: minhash_signatures(_docs(spark, sf), k=12),
     f"""
 WITH {_SHINGLES_CTE},
-hs AS (
-  SELECT doc_id, j, {_H_SHINGLE} AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
-)
-SELECT doc_id, j, MIN(h) AS minhash FROM hs GROUP BY doc_id, j
+{_SIGS_CTE}
+SELECT doc_id, j, minhash FROM sigs
 """.strip(),
 )
 
@@ -108,11 +120,7 @@ _register(
     lambda spark, sf: minhash_candidates(_docs(spark, sf), k=12, rows_per_band=3),
     f"""
 WITH {_SHINGLES_CTE},
-hs AS (
-  SELECT doc_id, j, {_H_SHINGLE} AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
-),
-sigs AS (SELECT doc_id, j, MIN(h) AS minhash FROM hs GROUP BY doc_id, j),
+{_SIGS_CTE},
 bands AS (
   SELECT doc_id, CAST(FLOOR(j / 3) AS INT) AS band_id,
          string_agg(CAST(minhash AS STRING), '-' ORDER BY j) AS band_hash
@@ -140,11 +148,7 @@ _register(
     _q_dedup_minhash_verified,
     f"""
 WITH {_SHINGLES_CTE},
-hs AS (
-  SELECT doc_id, j, {_H_SHINGLE} AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
-),
-sigs AS (SELECT doc_id, j, MIN(h) AS minhash FROM hs GROUP BY doc_id, j),
+{_SIGS_CTE},
 bands AS (
   SELECT doc_id, CAST(FLOOR(j / 3) AS INT) AS band_id,
          string_agg(CAST(minhash AS STRING), '-' ORDER BY j) AS band_hash
@@ -194,11 +198,7 @@ _register(
     _q_dedup_components,
     f"""
 WITH RECURSIVE {_SHINGLES_CTE},
-hs AS (
-  SELECT doc_id, j, {_H_SHINGLE} AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
-),
-sigs AS (SELECT doc_id, j, MIN(h) AS minhash FROM hs GROUP BY doc_id, j),
+{_SIGS_CTE},
 bands AS (
   SELECT doc_id, CAST(FLOOR(j / 3) AS INT) AS band_id,
          string_agg(CAST(minhash AS STRING), '-' ORDER BY j) AS band_hash
