@@ -72,11 +72,12 @@ _DRIVER_ORDER = [
     "dedup_ngram_jaccard",
 ]
 
-# Registered-but-not-driver-checked (library API; each is covered by pytest
-# and/or a value-checked twin): sim_ivf_topk (float MLlib KMeans is not
-# SQL-replayable; sim_ivf_kmeans_topk value-checks a LEARNED-quantizer IVF
-# end-to-end via integer-exact Lloyd's, and sim_ivf_fixed_topk the
-# probe/assign/score path),
+# Library-API-only, not in the registry at all: ivf_topk's default float
+# MLlib-KMeans quantizer (not SQL-replayable; pinned by
+# test_similarity_ivf, while sim_ivf_kmeans_topk value-checks a LEARNED
+# quantizer end-to-end via integer-exact Lloyd's and sim_ivf_fixed_topk
+# the probe/assign/score path). Registered-but-not-driver-checked (each
+# covered by pytest and/or a value-checked twin):
 # parity_profiles (period tree/phase JSON is a sequential fold; the root
 # matrix is hash-checked by parity_roottx, the tree by golden pytest),
 # predictor_simulate (seeded RNG; deterministic twin predictor_simulate_det

@@ -346,3 +346,49 @@ def test_dedup_components_raises_on_non_convergence(spark):
     # the default small-graph union-find needs no rounds at all
     uf = {r.doc_id: r.keeper_id for r in dedup_components(nodes, chain).collect()}
     assert uf == out
+
+
+def test_uhash_sql_matches_bigint_affine(spark):
+    """The Mersenne-fold SQL expression (uhash_sql) must equal the exact
+    big-integer affine map (a*h + b) mod (2^61 - 1) for 60-bit inputs —
+    evaluated by SPARK itself, so the engine's >>/&/% semantics are what
+    is being pinned (the same text runs verbatim in the DuckDB oracles)."""
+    import random
+
+    from tsprofiler_spark.operators.dedup import MERSENNE_P61, uhash_consts, uhash_sql
+
+    rng = random.Random(159)
+    hs = [rng.randrange(0, 1 << 60) for _ in range(500)] + [0, 1, (1 << 60) - 1]
+    df = spark.createDataFrame([(h,) for h in hs], "h bigint")
+    for a, b in uhash_consts(4):
+        got = [r.v for r in df.select(F.expr(uhash_sql(a, b)).alias("v")).collect()]
+        want = [(a * h + b) % MERSENNE_P61 for h in hs]
+        assert got == want
+
+
+def test_lsh_bands_matches_inline_band_projection(spark, docs):
+    """lsh_bands (long-form API) and minhash_candidates' inline wide-form
+    band projection must produce the same (doc_id, band_id, band_hash)
+    rows — including the trailing PARTIAL band when rows_per_band does not
+    divide k."""
+    from tsprofiler_spark.operators.dedup import (
+        _minhash_wide,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    sample = docs.limit(40)
+    for k, r in ((12, 3), (12, 5)):
+        long_form = {
+            (x.doc_id, x.band_id, x.band_hash)
+            for x in lsh_bands(minhash_signatures(sample, k=k), rows_per_band=r).collect()
+        }
+        mins = _minhash_wide(sample, k)
+        n_bands = -(-k // r)
+        inline = set()
+        for row in mins.collect():
+            d = row.asDict()
+            for b in range(n_bands):
+                cols = [str(d[f"m{j}"]) for j in range(b * r, min(k, (b + 1) * r))]
+                inline.add((d["doc_id"], b, "-".join(cols)))
+        assert long_form == inline

@@ -23,3 +23,15 @@ def h32(c: Column) -> Column:
 
 def h32_sql_duckdb(expr: str) -> str:
     return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+
+def h60(c: Column) -> Column:
+    """Unsigned 60-bit hash (first 15 md5 hex chars) — for identity-bearing
+    hashes where 32-bit birthday collisions matter at corpus scale (e.g.
+    the MinHash base hash: a base-hash collision aliases two shingles in
+    EVERY derived signature position)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def h60_sql_duckdb(expr: str) -> str:
+    return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 15)) AS UBIGINT) AS BIGINT)"

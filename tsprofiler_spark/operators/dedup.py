@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tsprofiler_spark.functions.hashing import h32
+from tsprofiler_spark.functions.hashing import h32, h60
 from tsprofiler_spark.functions.spread import spread
 
 
@@ -64,14 +64,15 @@ def doc_shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> Dat
     return _spread(documents).select("doc_id", F.explode(col).alias("shingle"))
 
 
-MERSENNE_P = 2147483647  # 2^31 - 1: universal-hash modulus
+MERSENNE_P61 = (1 << 61) - 1  # universal-hash modulus (Mersenne prime)
 
 
 def uhash_consts(k: int) -> list[tuple[int, int]]:
     """Deterministic (a_j, b_j) pairs for the universal hash family
-    ``h_j(x) = (a_j * x + b_j) mod p`` — drawn from md5 (the repo's
-    cross-engine h32) of fixed seeds, so Spark literals and oracle SQL
-    share one source of truth. a_j in [1, p-1], b_j in [0, p-1]."""
+    ``h_j(x) = (a_j * x + b_j) mod (2^61 - 1)`` — drawn from md5 (the
+    repo's cross-engine h32) of fixed seeds, so Spark literals and oracle
+    SQL share one source of truth. a_j in [1, 2^31) (the overflow-free
+    multiplier range for 60-bit inputs, see uhash_sql), b_j in [0, p)."""
     import hashlib
 
     def hi(s: str) -> int:
@@ -79,17 +80,33 @@ def uhash_consts(k: int) -> list[tuple[int, int]]:
 
     return [
         (
-            1 + hi(f"minhash-a:{j}") % (MERSENNE_P - 1),
-            hi(f"minhash-b:{j}") % MERSENNE_P,
+            1 + hi(f"minhash-a:{j}") % ((1 << 31) - 1),
+            (hi(f"minhash-b:{j}") * (1 << 29) + hi(f"minhash-b2:{j}")) % MERSENNE_P61,
         )
         for j in range(k)
     ]
 
 
+def uhash_sql(a, b, h: str = "h") -> str:
+    """``(a * h + b) mod (2^61 - 1)`` for a 60-bit h, as one SQL expression
+    valid VERBATIM in both Spark SQL and DuckDB (fully parenthesized, no
+    engine-specific literal suffixes; ``a``/``b`` may be int literals or
+    column names).
+
+    Overflow-free BIGINT evaluation via the Mersenne fold 2^61 ≡ 1 (mod p):
+    with h = hi*2^31 + lo and t = a*hi (< 2^60),
+    a*h = t*2^31 + a*lo ≡ (t >> 30) + ((t mod 2^30) << 31) + a*lo (mod p),
+    every term < 2^62 and the sum < 2^63. Verified exactly equal to the
+    big-integer affine map in tests (test_pipeline_ops)."""
+    t = f"({a} * ({h} >> 31))"
+    term = f"(({t} >> 30) + (({t} & 1073741823) << 31) + {a} * ({h} & 2147483647))"
+    return f"((({term} % {MERSENNE_P61}) + {b}) % {MERSENNE_P61})"
+
+
 def minhash_signatures(documents: DataFrame, k: int = 12, n: int = 3) -> DataFrame:
     """k MinHash values per doc via ONE content hash per shingle plus a
     universal-hash family: minhash_j = min over shingles of
-    ``(a_j * h32(shingle) mod p + b_j) mod p`` (p = 2^31-1).
+    ``(a_j * h60(shingle) + b_j) mod (2^61 - 1)``.
 
     Shuffle/CPU profile: one explode + ONE groupBy(doc_id) carrying k
     partial mins (map-side combine) — the corpus is hashed ONCE per
@@ -110,12 +127,14 @@ def _minhash_wide(documents: DataFrame, k: int = 12, n: int = 3) -> DataFrame:
     """(doc_id, m0..m{k-1}) — the one-groupBy wide form the long signature
     and the band projection both derive from."""
     sh = doc_shingles(documents, n, distinct=False)
-    hashed = sh.select(
-        "doc_id", (h32(F.col("shingle")) % MERSENNE_P).alias("h")
-    )
+    # 60-bit base hash: shingle identity must be much wider than 32 bits —
+    # a base-hash collision aliases two shingles in EVERY h_j at once
+    # (correlated across the whole signature), and 2^32 birthday space
+    # yields millions of such pairs at corpus scale; 2^60 leaves ~none.
+    hashed = sh.select("doc_id", h60(F.col("shingle")).alias("h"))
     return hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.expr(f"({a}L * h + {b}L) % {MERSENNE_P}L")).alias(f"m{j}")
+            F.min(F.expr(uhash_sql(a, b))).alias(f"m{j}")
             for j, (a, b) in enumerate(uhash_consts(k))
         ]
     )
@@ -147,7 +166,7 @@ def minhash_candidates(documents: DataFrame, k: int = 12, rows_per_band: int = 3
     (doc_id, j) stack and its re-aggregation never materialize.
     """
     mins = _minhash_wide(documents, k)
-    n_bands = k // rows_per_band
+    n_bands = -(-k // rows_per_band)  # ceil: trailing partial band kept
     bands = mins.select(
         "doc_id",
         F.explode(
@@ -158,8 +177,11 @@ def minhash_candidates(documents: DataFrame, k: int = 12, rows_per_band: int = 3
                         F.concat_ws(
                             "-",
                             *[
-                                F.col(f"m{b * rows_per_band + r}").cast("string")
-                                for r in range(rows_per_band)
+                                F.col(f"m{j}").cast("string")
+                                for j in range(
+                                    b * rows_per_band,
+                                    min(k, (b + 1) * rows_per_band),
+                                )
                             ],
                         ).alias("band_hash"),
                     )
@@ -375,23 +397,27 @@ def dedup_components(
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # canonical UNDIRECTED edge set (min, max) — counted once, collected
+    # once; the directed doubling the propagation loop needs is derived
+    # from this cache below
+    und = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("src"),
+            F.greatest("doc_a", "doc_b").alias("dst"),
         )
+        .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    edges_cached = edges
-    edges_cached.persist()
-    # Size the loop's task count from the MEASURED subgraph (the count also
-    # fills the edge cache, which round 1 would pay anyway): the distinct
-    # above materializes at the session's shuffle width, and iterating a
-    # 500-edge graph over 128 cached partitions spends the whole round on
-    # task scheduling (~2 s/round measured). AQE coalesces reducers but not
-    # the cached map side; a narrow coalesce fixes both. Giant graphs keep
-    # full parallelism (~1M edges/task).
-    n_edges = edges_cached.count()
+    und.persist()
+    # Size the strategy and the loop's task count from the MEASURED
+    # subgraph (the count also fills the edge cache, which the first use
+    # would pay anyway): the distinct above materializes at the session's
+    # shuffle width, and iterating a 500-edge graph over 128 cached
+    # partitions spends the whole round on task scheduling (~2 s/round
+    # measured). AQE coalesces reducers but not the cached map side; a
+    # narrow coalesce fixes both. Giant graphs keep full parallelism
+    # (~1M edges/task).
+    n_edges = und.count()
     spark = documents.sparkSession
 
     if n_edges <= small_graph_edges:
@@ -409,11 +435,11 @@ def dedup_components(
         # collect, not toLocalIterator: the gate bounds this at
         # small_graph_edges rows (~tens of MB), and toLocalIterator runs
         # one sequential job per partition
-        for r in edges_cached.collect():
+        for r in und.collect():
             ra, rb = find(r.src), find(r.dst)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        edges_cached.unpersist()
+        und.unpersist()
         # nodes never attached (component minima) keep themselves via the
         # left join's coalesce — only attached nodes need label rows
         resolved = [(node, find(node)) for node in list(parent)]
@@ -423,10 +449,15 @@ def dedup_components(
 
     parallelism = spark.sparkContext.defaultParallelism
     parts = int(min(parallelism, n_edges // 1_000_000 + 1))
-    if parts < parallelism:
-        edges = edges_cached.coalesce(parts)
-    # the union above emits every paired node on BOTH sides, so distinct
-    # src == the touched-node set; everything else keeps itself untouched
+    narrow = und.coalesce(parts) if parts < parallelism else und
+    # directed doubling for the propagation join, derived from the cached
+    # undirected set (src < dst strictly, so the swap is disjoint — no
+    # second distinct needed)
+    edges = narrow.unionByName(
+        narrow.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # the doubling emits every paired node on BOTH sides, so distinct src
+    # == the touched-node set; everything else keeps itself untouched
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("comp")
     )
@@ -459,7 +490,7 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
-    edges_cached.unpersist()
+    und.unpersist()
     if changed != 0:
         # running out of rounds means some component's labels are still
         # intermediate — silently returning them would split components
@@ -525,7 +556,7 @@ def embedding_near_dups(
     ).select(
         F.col("a.vec_id").alias("keep_id"),
         F.col("c.vec_id").alias("dup_id"),
-        cosine_expr("a.emb", "c.emb").alias("cosine"),
+        cosine_expr("a.emb", "c.emb", dim).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold).select(
         "keep_id", "dup_id", F.round("cosine", 6).alias("cosine")

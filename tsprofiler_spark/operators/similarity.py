@@ -74,6 +74,7 @@ def brute_force_topk(
     embeddings: DataFrame,
     k: int = 10,
     query_mod: int = 100,
+    dim: int = _DIM,
 ) -> DataFrame:
     """Exact top-k neighbors for query vectors (vec_id % query_mod == 0).
 
@@ -90,7 +91,7 @@ def brute_force_topk(
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_expr("q_emb", "emb").alias("cosine"),
+        cosine_expr("q_emb", "emb", dim).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -173,7 +174,7 @@ def ann_topk(
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_expr("q_emb", "emb").alias("cosine"),
+        cosine_expr("q_emb", "emb", dim).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -262,6 +263,9 @@ def kmeans_integer(
             lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint"),
         ).alias("eu"),
     )
+    # persist BEFORE the seed draw: the seed job then also fills the cache,
+    # so the quantization scan of the corpus runs once, not twice
+    base = base.persist()
     seed_rows = (
         base.select("vec_id", "eu", h32(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h", "vec_id")
@@ -271,7 +275,6 @@ def kmeans_integer(
     seed_rows = sorted(seed_rows, key=lambda r: (r["h"], r["vec_id"]))
     cents = [[int(v) for v in r["eu"]] for r in seed_rows]
 
-    base = base.persist()
     try:
         for _ in range(iters):
             def _d2(cu):
@@ -309,7 +312,7 @@ def kmeans_integer(
     )
 
 
-def assign_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_centroids(base: DataFrame, centroids: DataFrame, dim: int = _DIM) -> DataFrame:
     """Nearest-centroid assignment (squared euclidean, ties on centroid_id)
     against a broadcast centroid table — the inverted-list build step when
     the coarse quantizer is supplied explicitly instead of learned.
@@ -318,7 +321,7 @@ def assign_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
     centroid array<double>).
     """
     scored = base.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "centroid_id", _sq_l2("emb", "centroid").alias("d2")
+        "vec_id", "centroid_id", _sq_l2("emb", "centroid", dim).alias("d2")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("centroid_id"))
     return (
@@ -337,6 +340,7 @@ def ivf_topk(
     seed: int = 159,
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    dim: int = _DIM,
 ) -> DataFrame:
     """Approximate top-k via IVF: queries score only the ``n_probe``
     inverted lists whose centroids are nearest the query.
@@ -354,7 +358,7 @@ def ivf_topk(
     if centroids is None:
         assigned, centroids = ivf_index(embeddings, n_centroids, seed, vec_col)
     else:
-        assigned = assign_centroids(base, centroids)
+        assigned = assign_centroids(base, centroids, dim)
     corpus = base.join(assigned, "vec_id")
 
     queries = base.where(F.col("vec_id") % query_mod == 0).select(
@@ -365,8 +369,8 @@ def ivf_topk(
         "query_id",
         "q_emb",
         "centroid_id",
-        _dot("q_emb", "centroid").alias("qc_dot"),
-        _norm("centroid").alias("c_norm"),
+        _dot("q_emb", "centroid", dim).alias("qc_dot"),
+        _norm("centroid", dim).alias("c_norm"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         (F.col("qc_dot") / (F.lit(1e-12) + F.col("c_norm"))).desc(),
@@ -384,7 +388,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_expr("q_emb", "emb").alias("cosine"),
+        cosine_expr("q_emb", "emb", dim).alias("cosine"),
     )
     w_k = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

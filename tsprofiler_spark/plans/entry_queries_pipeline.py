@@ -88,20 +88,23 @@ FROM documents GROUP BY md5(text)
 
 # --- minhash signatures + LSH candidates ---------------------------------------
 
-# shared minhash CTE: one h32 per shingle + the universal-hash family
-# (same (a_j, b_j) literals as operators/dedup.uhash_consts — one source)
-from tsprofiler_spark.operators.dedup import MERSENNE_P as _P31
+# shared minhash CTE: one 60-bit base hash per shingle + the mod-(2^61-1)
+# universal-hash family — constants AND the overflow-free Mersenne-fold
+# expression come from operators/dedup (uhash_consts / uhash_sql), so the
+# oracle evaluates the IDENTICAL arithmetic text Spark runs
+from tsprofiler_spark.functions.hashing import h60_sql_duckdb
 from tsprofiler_spark.operators.dedup import uhash_consts as _uhash_consts
+from tsprofiler_spark.operators.dedup import uhash_sql as _uhash_sql
 
 _UH_VALUES = ", ".join(
     f"({j}, {a}, {b})" for j, (a, b) in enumerate(_uhash_consts(12))
 )
 _SIGS_CTE = f"""hs AS (
-  SELECT doc_id, {h32_sql_duckdb("shingle")} % {_P31} AS h FROM sh
+  SELECT doc_id, {h60_sql_duckdb("shingle")} AS h FROM sh
 ),
 uh(j, a, b) AS (SELECT * FROM (VALUES {_UH_VALUES})),
 sigs AS (
-  SELECT doc_id, j, MIN((a * h + b) % {_P31}) AS minhash
+  SELECT doc_id, j, MIN({_uhash_sql("a", "b")}) AS minhash
   FROM hs CROSS JOIN uh GROUP BY doc_id, j
 )"""
 
