@@ -47,6 +47,9 @@ _DRIVER_ORDER = [
     # -- r2 hash-red, rebuilt all-integer this round + probe twins --
     "series_stats", "probe_series_stats",
     "text_pack_sequences", "probe_pack_tokens",
+    # -- new this round, never driver-verified: learned-quantizer IVF
+    #    (integer-exact Lloyd's KMeans) — must sit inside the gate window --
+    "sim_ivf_kmeans_topk",
     # -- flagship timeseries family --
     "transcripts_ingest", "gap_fill", "chunk_states", "multi_metric_states",
     "transition_counts", "transition_probs", "simple_states", "rollup_tiers",
@@ -61,15 +64,17 @@ _DRIVER_ORDER = [
     "dedup_components", "dedup_simhash", "decontaminate", "dedup_embedding",
     "sample_stratified", "text_token_counts", "text_quality", "text_lang_id",
     "text_repetition", "text_chunks", "text_redact",
-    "sim_brute_topk", "sim_ann_topk", "sim_ivf_fixed_topk",
-    "sim_ivf_kmeans_topk",
+    "sim_brute_topk", "sim_ann_topk",
     # -- sacrificial tail (signal subsumed by earlier green rows:
-    #    fingerprint is a shingle-hash set like minhash_signatures,
-    #    hash_split is a trivial md5-mod fence, lsh_buckets is recomputed
-    #    inside sim_ann_topk, ngram_jaccard is the priciest dedup and was
-    #    hash-green in r1 and r2) --
-    "text_fingerprint", "sample_hash_split", "sim_lsh_buckets",
-    "dedup_ngram_jaccard",
+    #    sim_ivf_fixed_topk drives the same ivf_topk assign/probe/score
+    #    machinery as sim_ivf_kmeans_topk (entry #11), just with an
+    #    explicit quantizer — it was the stopgap twin from before the
+    #    kmeans path had an oracle; fingerprint is a shingle-hash set like
+    #    minhash_signatures, hash_split is a trivial md5-mod fence,
+    #    lsh_buckets is recomputed inside sim_ann_topk, ngram_jaccard is
+    #    the priciest dedup and was hash-green in r1 and r2) --
+    "sim_ivf_fixed_topk", "text_fingerprint", "sample_hash_split",
+    "sim_lsh_buckets", "dedup_ngram_jaccard",
 ]
 
 # Library-API-only, not in the registry at all: ivf_topk's default float
@@ -82,8 +87,9 @@ _DRIVER_ORDER = [
 # matrix is hash-checked by parity_roottx, the tree by golden pytest),
 # predictor_simulate (seeded RNG; deterministic twin predictor_simulate_det
 # is hash-checked), dedup_minhash_candidates (its exact output rows are the
-# rows of dedup_minhash_verified, which is hash-checked), rollup_1m/1h/1d
-# (merged into the single rollup_tiers entry).
+# rows of dedup_minhash_verified, which is hash-checked). The former
+# rollup_1m/1h/1d entries are gone from the registry entirely — their
+# per-tier plans are the single rollup_tiers entry now.
 
 
 def _merged() -> tuple[dict, dict]:

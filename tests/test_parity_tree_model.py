@@ -50,8 +50,12 @@ def _run_kernel(seq: list[int]) -> dict:
     return out
 
 
-def _run_model(seq: list[int]) -> dict:
-    """The exact integer re-derivation the DuckDB oracle implements."""
+def _run_model(seq: list[int], reset_on_wrap: bool = False) -> dict:
+    """The exact integer re-derivation the DuckDB oracle implements.
+
+    ``reset_on_wrap=True`` builds the WRONG variant (counter reset on the
+    position wrap at 24) so tests can assert the kernel does NOT behave
+    that way."""
 
     def w_start(k: int) -> int:
         # level-0 counter resets at k ≡ 6,12,18 (mod 24); NOT on the
@@ -59,7 +63,7 @@ def _run_model(seq: list[int]) -> dict:
         j = (k // 6) * 6
         if j == 0:
             return 0
-        if j % 24 == 0:
+        if j % 24 == 0 and not reset_on_wrap:
             return j - 6
         return j
 
@@ -106,14 +110,19 @@ def test_tree_fold_matches_relational_model_fuzz():
 def test_tree_fold_wrap_does_not_reset_counter():
     """The quirk the oracle's w_start encodes: the window crossing the
     position wrap at chunk 24 keeps accumulating from chunk 18."""
-    seq = [1] * 18 + [2] * 6 + [3] * 6  # chunks 18-29 span the wrap
+    # chunks 18-23 are state 0, chunk 24 (the wrap) is state 5, all under
+    # ident 0 — so chunk 24's snapshot depends on whether the window
+    # starts at 18 (no reset: 6×state0 + 1×state5) or at 24 (reset:
+    # 1×state5 only)
+    seq = [0] * 24 + [5] * 6
     kern = _run_kernel(seq)
-    # node 0's second snapshot (chunk 24) must include the 18-23 window
-    # counts; the model with the no-reset rule reproduces it exactly
+    # the model with the no-reset rule reproduces the kernel exactly
     assert kern == _run_model(seq)
-    # and a model WITH a reset at 24 would NOT match: idents of chunk 24's
-    # window would drop the 2->2 transitions counted since chunk 18
-    assert ("0", 100) != kern.get((0, "0"), (None, None))[1:] or True
+    # and a model WITH a reset at 24 does NOT match: node 0's merged
+    # probs flip from [87,...,14] to [2,...,99]
+    wrong = _run_model(seq, reset_on_wrap=True)
+    assert kern != wrong
+    assert kern[(0, "0")][0] != wrong[(0, "0")][0]
 
 
 def test_tree_probability_frozen_at_first_snapshot():

@@ -157,13 +157,15 @@ def test_driver_contract_shape():
     o = entry.oracle_sql()
     assert list(q) == entry._DRIVER_ORDER
     assert set(o) == set(q), "every registered query must be value-checked"
-    first10 = list(q)[:10]
+    first11 = list(q)[:11]
     for name in (
         "multimodal_features", "predictor_likeliness", "series_stats",
         "probe_series_stats", "text_pack_sequences", "probe_pack_tokens",
+        "sim_ivf_kmeans_topk",
     ):
-        assert name in first10, f"{name} must run before the heavy families"
+        assert name in first11, f"{name} must run before the heavy families"
     # the sacrificial tail holds only queries whose signal earlier rows
     # subsume; everything unique must sit inside the first 50
     assert "parity_tree" in list(q)[:50]
-    assert "sim_ivf_fixed_topk" in list(q)[:50]
+    assert "sim_ann_topk" in list(q)[:50]
+    assert "sim_ivf_kmeans_topk" in list(q)[:50]

@@ -66,3 +66,17 @@ def test_kmeans_integer_ivf_recall_and_grid(spark, embs):
     )
     first = sorted((r.centroid_id, tuple(r.centroid)) for r in cents)
     assert again == first
+
+
+def test_kmeans_integer_small_corpus_degrades(spark):
+    """Corpus smaller than n_centroids: one centroid per vector (the SQL
+    oracle's QUALIFY rank <= n draws the same), not an IndexError in the
+    Lloyd loop."""
+    from tsprofiler_spark.operators.similarity import kmeans_integer
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_integer(tiny, n_centroids=8, iters=2).collect()
+    assert len(cents) == 5

@@ -279,6 +279,14 @@ def main() -> None:
         print(json.dumps(report))
         return
     if args.interleave:
+        # interleaved reports have a different schema (legs/pairs, not
+        # runs) and skip the BASELINE.md autogen refresh — never let one
+        # silently overwrite the canonical non-interleaved scaling.json
+        default_out = os.path.join(REPO, "BENCH", "scaling.json")
+        if os.path.abspath(args.out) == default_out:
+            args.out = os.path.join(REPO, "BENCH", "scaling_interleaved.json")
+            print(f"--interleave without --out: writing {args.out} "
+                  f"(schema differs from {default_out})")
         _interleaved_main(args, zpath)
         return
 

@@ -25,6 +25,17 @@ def h32_sql_duckdb(expr: str) -> str:
     return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
 
 
+def h32_py(s: str) -> int:
+    """Driver-side Python twin of ``h32`` — for deterministic constants
+    (LSH plane weights, universal-hash (a, b) pairs) that are folded into
+    codegen SQL as literals. Keeping all three representations (Spark
+    Column, DuckDB SQL, Python) in this one file means a future widening
+    (as happened to h60) cannot silently desynchronize them."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
 def h60(c: Column) -> Column:
     """Unsigned 60-bit hash (first 15 md5 hex chars) — for identity-bearing
     hashes where 32-bit birthday collisions matter at corpus scale (e.g.

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tsprofiler_spark.functions.hashing import h32, h60
+from tsprofiler_spark.functions.hashing import h32, h32_py, h60
 from tsprofiler_spark.functions.spread import spread
 
 
@@ -73,11 +73,7 @@ def uhash_consts(k: int) -> list[tuple[int, int]]:
     repo's cross-engine h32) of fixed seeds, so Spark literals and oracle
     SQL share one source of truth. a_j in [1, 2^31) (the overflow-free
     multiplier range for 60-bit inputs, see uhash_sql), b_j in [0, p)."""
-    import hashlib
-
-    def hi(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
+    hi = h32_py
     return [
         (
             1 + hi(f"minhash-a:{j}") % ((1 << 31) - 1),
@@ -432,13 +428,16 @@ def dedup_components(
                 parent[x], x = root, parent[x]
             return root
 
-        # collect, not toLocalIterator: the gate bounds this at
-        # small_graph_edges rows (~tens of MB), and toLocalIterator runs
-        # one sequential job per partition
-        for r in und.collect():
-            ra, rb = find(r.src), find(r.dst)
+        # toPandas (Arrow), not collect: 2M PySpark Row objects cost
+        # ~100+ bytes each (~0.5 GB python RSS at the gate boundary) while
+        # two Arrow-backed pandas columns of the same edges are ~tens of
+        # MB; not toLocalIterator either (one sequential job/partition)
+        edges_pd = und.toPandas()
+        for a, b in zip(edges_pd["src"].tolist(), edges_pd["dst"].tolist()):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
+        del edges_pd
         und.unpersist()
         # nodes never attached (component minima) keep themselves via the
         # left join's coalesce — only attached nodes need label rows

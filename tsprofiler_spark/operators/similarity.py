@@ -1,8 +1,8 @@
 """Similarity search over embedding columns (array<float>).
 
 * brute_force_topk — exact cosine top-k: broadcast the (small) query set
-  against the corpus; dot products via zip_with/aggregate (JVM-side, no
-  Python). The correctness baseline.
+  against the corpus; dot products as one flat codegen SQL expression
+  (JVM-side, no Python, no interpreted lambdas). The correctness baseline.
 * lsh_buckets / ann_topk — random-hyperplane LSH: deterministic
   pseudo-random planes from h32(plane, dim), signature = sign-bit int.
   The scale path: candidates only from matching buckets (multi-probe via
@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tsprofiler_spark.functions.hashing import h32
+from tsprofiler_spark.functions.hashing import h32, h32_py
 from tsprofiler_spark.functions.spread import spread
 
 
@@ -114,10 +114,7 @@ def _plane_weight(plane: int, dim: int) -> float:
     Computed driver-side (hashlib md5 == the JVM/DuckDB h32: first 8 hex
     chars as uint32) so planes reach the executors as folded double
     literals inside the codegen stage, not per-row md5 expressions."""
-    import hashlib
-
-    h = int(hashlib.md5(f"{plane}-{dim}".encode()).hexdigest()[:8], 16)
-    return ((h % 2001) - 1000) / 1000.0
+    return ((h32_py(f"{plane}-{dim}") % 2001) - 1000) / 1000.0
 
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 12, dim: int = 64) -> DataFrame:
@@ -274,6 +271,10 @@ def kmeans_integer(
     )
     seed_rows = sorted(seed_rows, key=lambda r: (r["h"], r["vec_id"]))
     cents = [[int(v) for v in r["eu"]] for r in seed_rows]
+    # a corpus smaller than n_centroids degrades to one centroid per
+    # vector (the SQL oracle's QUALIFY rank <= n does the same) instead
+    # of crashing on cents[j] in the Lloyd loop below
+    n_centroids = len(cents)
 
     try:
         for _ in range(iters):
@@ -347,7 +348,7 @@ def ivf_topk(
 
     Query→centroid distance ranks against the broadcast centroid table;
     candidate scoring joins corpus vectors on centroid_id (bucket-local,
-    never O(n·q)); cosine runs JVM-side (zip_with/aggregate).
+    never O(n·q)); cosine runs JVM-side as one flat codegen SQL string.
 
     ``centroids`` (centroid_id, centroid array<double>) supplies an
     explicit coarse quantizer (deterministic sample, product-of-experts,

@@ -317,6 +317,15 @@ def q_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value, passes). avg is derived as integer micro-units via
     # round-half-up((1e6 * s1_sum) / count) computed with pure integer
     # division; min/max are the fixed bounds as BIGINT.
+    #
+    # PRECONDITION (cross-engine exactness): s1_sum must be NONNEGATIVE and
+    # exactly INTEGRAL — true here because metric values are text lengths /
+    # token counts (nonneg ints, exact in double). For negative sums Spark
+    # `div` truncates toward zero while DuckDB `//` floors (off by 1), and
+    # for non-integral sums Spark's double->BIGINT cast truncates while
+    # DuckDB's rounds. A signed/derivative metric family must NOT reuse
+    # this formula without switching both engines to an explicit
+    # floor-division and a pre-rounded integral sum.
     chunks = _states_df(spark, sf_dir)
     stats = series_stats(chunks, SETTINGS)
     return stats.select(
