@@ -167,3 +167,39 @@ def test_put_block_bit_exact_vs_put():
     assert json.dumps(f2.get_profile(), sort_keys=True) == json.dumps(
         s2.get_profile(), sort_keys=True
     )
+
+    # a block containing NaN also falls back per-turn: the sequential fold's
+    # < / > comparisons skip NaN while np.min/np.max would propagate it
+    v3 = vals.copy()
+    v3[40, 0] = np.nan
+    s3 = ReferenceProfiler(settings)
+    for row in v3:
+        s3.put(list(zip(metrics, row)))
+    f3 = ReferenceProfiler(settings)
+    f3.put_block(metrics, v3)
+    assert json.dumps(f3.get_profile(), sort_keys=True) == json.dumps(
+        s3.get_profile(), sort_keys=True
+    )
+
+
+def test_predictor_noise_survives_zero_max():
+    """predictor/util.go:86-95 divides stddev/max unguarded; with a
+    non-fixed-bound all-negative series the buffer's pinned Max zero-init
+    keeps stats max at 0, and Go's float64 division yields Inf/NaN instead
+    of crashing. simulate(noise=True) must return values, not raise."""
+    from tsprofiler_spark.kernel.predictor import Predictor
+
+    settings = Settings(buffer_size=2, states=4, history=1, fix_bound=False)
+    prof = ReferenceProfiler(settings)
+    rng = np.random.default_rng(7)
+    for v in rng.uniform(-120, -5, size=40):
+        prof.put([("m", float(v))])
+    doc = prof.get_profile()
+    assert doc["roottx"][0]["stats"]["max"] == 0.0  # the quirk under test
+
+    pred = Predictor(doc, mode="roottx", seed=11, noise=True)
+    sim = pred.simulate(5)
+    assert len(sim) == 5
+    for step in sim:
+        for m in step:
+            assert isinstance(m["value"], int)

@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from tsprofiler_spark.kernel.stats import TSStats, go_sqrt, weighted_mean
+from tsprofiler_spark.kernel.stats import TSStats, merge_global_stats
 from tsprofiler_spark.kernel.txdimension import change_dimension
 from tsprofiler_spark.kernel.txmatrix import compute_probabilities, ident_of
 
@@ -84,14 +84,10 @@ class Counter:
                 self.states,
             )
 
-        old_avg = global_stats.avg
-        global_stats.avg = weighted_mean(
-            [old_avg, stats.avg], [float(global_stats.count), float(stats.count)]
-        )
-        global_stats.count += stats.count
-        global_stats.stddev_sum += stats.stddev_sum
-        global_stats.stddev = go_sqrt(global_stats.stddev_sum / float(global_stats.count))
-        self.stats[metric] = global_stats
+        # Shared with the distributed fold: the avg/count/stddev part of the
+        # merge is exactly stats.merge_global_stats (counter.go:148-156);
+        # min/max sentinel handling stays local above.
+        self.stats[metric] = merge_global_stats(global_stats, stats)
 
         if metric not in self.current_state:
             self.current_state[metric] = [0] * self.history

@@ -8,6 +8,7 @@ int-percent arithmetic of predictor/likeliness.go:9-56 exactly.
 
 from __future__ import annotations
 
+import math
 import random
 
 from tsprofiler_spark.kernel.rounding import go_round
@@ -96,6 +97,11 @@ class Predictor:
         self.period_path: list[int] = [0] * len(self.settings.get("periodsize", []))
         self.period_path_depth = len(self.period_path)
         self.period_size_counter = [0] * len(self.settings.get("periodsize", []))
+        # The profile dict is immutable for the predictor's lifetime, so the
+        # period tree is parsed once instead of per simulation step.
+        self._period_tree = (
+            PeriodTree.from_json_dict(profile["periodTree"]) if mode == MODE_PERIODS else None
+        )
         self.current_state: dict[str, str] = {}
         self._initialize_state()
 
@@ -107,9 +113,8 @@ class Predictor:
         if self.mode == MODE_PHASES:
             return self.profile["phases"]["phases"][self.current_phase]
         if self.mode == MODE_PERIODS:
-            tree = PeriodTree.from_json_dict(self.profile["periodTree"])
             depth = min(self.period_path_depth, len(self.period_path))
-            node = tree.get_node(self.period_path[:depth])
+            node = self._period_tree.get_node(self.period_path[:depth])
             return node.txmatrix
         return self.profile["roottx"]
 
@@ -184,8 +189,27 @@ class Predictor:
             # call counter advances exactly once per step (weighted choice)
             # and the walk is SQL-replicable.
             return int(go_round(vmin + float(state) * state_size))
-        noise = float(self.rng.randrange(int(state_size))) * (stddev / vmax)
+        # Go divides stddev/max unguarded (predictor/util.go:93); with
+        # max == 0 (possible for non-fixed-bound all-negative series, where
+        # the buffer's pinned Max zero-init keeps stats max at 0) float64
+        # division yields ±Inf/NaN instead of crashing. Mirror IEEE here:
+        # Python raises ZeroDivisionError on float x/0.0, Go does not.
+        draw = float(self.rng.randrange(int(state_size)))
+        if vmax == 0.0:
+            if stddev > 0.0:
+                ratio = math.inf
+            elif stddev < 0.0:
+                ratio = -math.inf
+            else:
+                ratio = math.nan
+        else:
+            ratio = stddev / vmax
+        noise = draw * ratio
         value = vmin + float(state) * state_size + noise
+        if not math.isfinite(value):
+            # Go's int64(math.Round(x)) on NaN/±Inf is the amd64 CVTTSD2SI
+            # saturation value (math.MinInt64); keep the same defined result.
+            return -(2**63)
         return int(go_round(value))
 
     def simulate(self, steps: int) -> list[list[dict]]:

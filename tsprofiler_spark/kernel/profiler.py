@@ -127,8 +127,9 @@ class ReferenceProfiler:
         chunk min/max come from one numpy reduction per chunk. The pinned
         buffer quirks survive: Max zero-init -> max(0, np.max); the Min
         sentinel (-1) only diverges from np.min when a value is exactly
-        -1.0 (models/tsbuffer.go:24-33), so such blocks take the exact
-        per-turn path instead. Partial buffer state (from earlier put()
+        -1.0 (models/tsbuffer.go:24-33), and NaN fails both ``<`` and ``>``
+        in the sequential fold while np.min/np.max propagate it — so blocks
+        containing -1.0 or NaN take the exact per-turn path instead. Partial buffer state (from earlier put()
         calls) is drained per-turn until a chunk boundary; trailing
         incomplete turns are fed per-turn so later puts continue exactly.
         """
@@ -139,7 +140,7 @@ class ReferenceProfiler:
         while i < n_turns and self._item_count > 0:
             self.put([(m, float(values[i, j])) for j, m in enumerate(metric_names)])
             i += 1
-        if not (values == -1.0).any():
+        if not ((values == -1.0).any() or np.isnan(values).any()):
             while i + bsize <= n_turns:
                 chunk = values[i : i + bsize]
                 buffers = []

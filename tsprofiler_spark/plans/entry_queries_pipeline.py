@@ -108,6 +108,21 @@ sigs AS (
   FROM hs CROSS JOIN uh GROUP BY doc_id, j
 )"""
 
+# One definition of the LSH banding scheme (rows_per_band=3, band-hash
+# encoding, doc_a < doc_b pairing) shared by every oracle that grades a
+# banding-dependent operator — edits here reach all of them at once.
+_BANDS_CTE = """bands AS (
+  SELECT doc_id, CAST(FLOOR(j / 3) AS INT) AS band_id,
+         string_agg(CAST(minhash AS STRING), '-' ORDER BY j) AS band_hash
+  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / 3) AS INT)
+)"""
+_CAND_SELECT = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+_CAND_CTE = f"""cand AS (
+  {_CAND_SELECT}
+)"""
+
 _register(
     "dedup_minhash_signatures",
     lambda spark, sf: minhash_signatures(_docs(spark, sf), k=12),
@@ -124,14 +139,8 @@ _register(
     f"""
 WITH {_SHINGLES_CTE},
 {_SIGS_CTE},
-bands AS (
-  SELECT doc_id, CAST(FLOOR(j / 3) AS INT) AS band_id,
-         string_agg(CAST(minhash AS STRING), '-' ORDER BY j) AS band_hash
-  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / 3) AS INT)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+{_BANDS_CTE}
+{_CAND_SELECT}
 """.strip(),
 )
 
@@ -152,16 +161,8 @@ _register(
     f"""
 WITH {_SHINGLES_CTE},
 {_SIGS_CTE},
-bands AS (
-  SELECT doc_id, CAST(FLOOR(j / 3) AS INT) AS band_id,
-         string_agg(CAST(minhash AS STRING), '-' ORDER BY j) AS band_hash
-  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / 3) AS INT)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-),
+{_BANDS_CTE},
+{_CAND_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT c.doc_a, c.doc_b, COUNT(sb.shingle) AS common
@@ -202,16 +203,8 @@ _register(
     f"""
 WITH RECURSIVE {_SHINGLES_CTE},
 {_SIGS_CTE},
-bands AS (
-  SELECT doc_id, CAST(FLOOR(j / 3) AS INT) AS band_id,
-         string_agg(CAST(minhash AS STRING), '-' ORDER BY j) AS band_hash
-  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / 3) AS INT)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-),
+{_BANDS_CTE},
+{_CAND_CTE},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM cand
   UNION SELECT doc_b, doc_a FROM cand

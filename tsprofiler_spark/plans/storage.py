@@ -44,6 +44,9 @@ def use_iceberg(spark: SparkSession) -> bool:
     return bool(spark.conf.get("spark.sql.catalog.local", None))
 
 
+LINEAGE_KEEP = 256  # full per-day lineage kept for the most recent N runs
+
+
 @dataclass
 class Manifest:
     path: str
@@ -51,6 +54,16 @@ class Manifest:
     runs: list = field(default_factory=list)
     # committed snapshot pointers: tier -> {day -> version (run_id)}
     tiers: dict = field(default_factory=dict)
+    # run_ids of runs whose full lineage has been compacted away; together
+    # with runs' ids this is the complete replay-dedup set. A long-lived
+    # minute-cadence stream commits ~500k runs/year — at a few tens of bytes
+    # per compacted id the manifest stays small, whereas unbounded full
+    # lineage (per-day partition records) grew it without limit.
+    compacted_run_ids: list = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self._run_ids = set(self.compacted_run_ids)
+        self._run_ids.update(r.get("run_id") for r in self.runs)
 
     @staticmethod
     def load(path: str) -> "Manifest":
@@ -62,18 +75,24 @@ class Manifest:
                 watermark=d.get("watermark"),
                 runs=d.get("runs", []),
                 tiers=d.get("tiers", {}),
+                compacted_run_ids=d.get("compacted_run_ids", []),
             )
         return Manifest(path=path)
 
     def has_run(self, run_id: str) -> bool:
-        return any(r.get("run_id") == run_id for r in self.runs)
+        return run_id in self._run_ids
 
     def _save(self) -> None:
         tmp = self.path + ".tmp"
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(
-                {"watermark": self.watermark, "runs": self.runs, "tiers": self.tiers},
+                {
+                    "watermark": self.watermark,
+                    "runs": self.runs,
+                    "tiers": self.tiers,
+                    "compacted_run_ids": self.compacted_run_ids,
+                },
                 f,
                 indent=1,
             )
@@ -96,6 +115,9 @@ class Manifest:
                 "partitions": partitions,
             }
         )
+        self._run_ids.add(run_id)
+        while len(self.runs) > LINEAGE_KEEP:
+            self.compacted_run_ids.append(self.runs.pop(0)["run_id"])
         for tier, days in (pointers or {}).items():
             self.tiers.setdefault(tier, {}).update(days)
         self._save()
