@@ -20,22 +20,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tsprofiler_spark.functions.hashing import h32, h32_py, h60
+from tsprofiler_spark.functions.shingles import word_shingles
 from tsprofiler_spark.functions.spread import spread
 
 
 def _word_shingles_multi(text_col, n: int = 3):
     """Word n-gram shingles as an array column, duplicates kept (size - n
     + 1 shingles; empty array for texts shorter than n words)."""
-    words = F.split(F.lower(text_col), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + F.lit(j + 1)) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(words) >= n, shingles).otherwise(
-        F.array().cast("array<string>")
-    )
+    return word_shingles(text_col, n)
 
 
 def _word_shingles(text_col, n: int = 3):
@@ -332,14 +324,24 @@ def verify_candidates(
         .join(
             sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
             "doc_a",
+            "left",
         )
         .join(
             sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
             "doc_b",
+            "left",
         )
+        # a doc shorter than n words contributes no shingle rows, so its
+        # size is absent from `sizes` — keep the pair (the EVERY-candidate
+        # contract) with size 0 and a defined jaccard of 0 instead of the
+        # inner-join silently dropping it
+        .na.fill({"na": 0, "nb": 0})
         .withColumn(
             "jaccard",
-            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+            F.when(
+                (F.col("na") + F.col("nb") - F.col("common")) > 0,
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+            ).otherwise(F.lit(0.0)),
         )
     )
     return joined.select(

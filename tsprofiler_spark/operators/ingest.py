@@ -154,7 +154,10 @@ def _assemble_filled(exploded: DataFrame, step_seconds: int) -> DataFrame:
         .otherwise(F.col("prev_tool"))
         .alias("tool"),
         filled_ts.alias("ts"),
-        out_text.isNull().alias("is_filled"),
+        # derived from turn identity, NOT text nullability: an observed turn
+        # whose text is NULL must stay is_filled=false (its value is a real
+        # observation, not a LOCF gap)
+        (~is_obs).alias("is_filled"),
     )
 
 

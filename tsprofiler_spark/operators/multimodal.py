@@ -221,24 +221,31 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_features(payloads: DataFrame, n_features: int = 16) -> DataFrame:
+def decode_features(
+    payloads: DataFrame, n_features: int = 16, compressed_decoder: str = "stub"
+) -> DataFrame:
     """Decode + feature-extract, routed by payload magic:
 
     * ``P6\\n``           → real PPM parse, pure numpy (`_parse_ppm`)
     * ``RIFF....WAVE``    → real PCM16 WAV parse, stdlib wave (`_parse_wav`)
-    * anything else       → PIL if importable (compressed formats; NOT in
-      this container, honestly gated), else the deterministic normalized
-      byte-histogram fake, marked ``stub-bytehist`` in the `decoder` column.
+    * anything else       → the deterministic normalized byte-histogram
+      fake, marked ``stub-bytehist`` in the `decoder` column.
+
+    ``compressed_decoder="pil"`` is the explicit opt-in hook where a real
+    deployment wires Pillow/ffmpeg for compressed formats; it is honestly
+    NOT implemented here (no image libs in this container) and raises.
+    The default never import-probes the environment, so the same job
+    produces the same output on any cluster image.
     """
+    if compressed_decoder not in ("stub", "pil"):
+        raise ValueError(f"unknown compressed_decoder: {compressed_decoder!r}")
+    if compressed_decoder == "pil":
+        raise NotImplementedError(
+            "compressed-format decode (PIL/ffmpeg) is not implemented in "
+            "this container; use compressed_decoder='stub'"
+        )
 
     def run(batches):
-        try:  # compressed-format decoder unavailable in this container
-            import PIL.Image  # noqa: F401
-
-            fallback = "pil"
-        except ImportError:
-            fallback = "stub-bytehist"
-
         for pdf in batches:
             out = []
             for doc_id, payload, meta in zip(
@@ -252,10 +259,6 @@ def decode_features(payloads: DataFrame, n_features: int = 16) -> DataFrame:
                 elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                     decoder = "wav-stdlib"
                     feats = _parse_wav(blob)
-                elif fallback == "pil":
-                    raise NotImplementedError(
-                        "compressed-format decode requires PIL at runtime"
-                    )
                 else:
                     # deterministic fake: normalized byte histogram buckets
                     decoder = "stub-bytehist"

@@ -352,12 +352,11 @@ def series_stats(chunks: DataFrame, settings: Settings) -> DataFrame:
     sum of per-chunk cross terms; stddev = sqrt(stddev_sum / count)
     (population-style over cross terms, matching the reference formula).
     """
-    if settings.fix_bound:
-        min_col = F.min("bound_min")
-        max_col = F.max("bound_max")
-    else:
-        min_col = F.min("obs_min")
-        max_col = F.max("obs_max")
+    # chunk_stats folds the fix_bound choice into bound_min/bound_max
+    # (== obs_min/obs_max when fix_bound is False) and drops the raw
+    # obs_* columns, so this works for both modes.
+    min_col = F.min("bound_min")
+    max_col = F.max("bound_max")
     return chunks.groupBy(*SERIES_COLS, "metric").agg(
         F.sum("n").alias("count"),
         (F.sum("s1") / F.sum("n")).alias("avg"),

@@ -185,13 +185,20 @@ def tier_delta(tier_df: DataFrame) -> DataFrame:
 
 
 def topk_series_daily(tier_df: DataFrame, k: int = 5) -> DataFrame:
-    """Top-k most active series per day (by total observation count).
+    """Top-k most active (series, metric) rows per day (by total
+    observation count).
 
     The operational "heavy hitters" report over the rollup tiers: which
     conversations/tools dominated each day. Exact, not sketched — at tier
     granularity the per-day series cardinality is already bounded by the
     rollup, so a full ranking is cheap; a count-min sketch is only needed
     upstream of the tiers, where dedup/LSH land first.
+
+    Contract: ``tier_df`` is ONE tier's table (tier is not a grouping key,
+    so a concatenation of tiers would double-count every observation), and
+    the ranking granularity is (series, metric) — a series carrying M
+    metrics occupies up to M of the k slots. Pre-aggregate over metric
+    before calling if per-series slots are wanted.
 
     Plan: one hash agg (day × series) + one window ranking partitioned by
     day. Ties are deterministic: rank orders by (total_n DESC, series key

@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+from itertools import combinations
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -151,10 +153,16 @@ def ann_topk(
     base = _spread(embeddings).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     ).join(buckets, "vec_id")
+    # every bucket within Hamming distance `multiprobe` of the query's own
+    # signature: XOR masks of 1..multiprobe set bits (sum of C(n_planes, d)
+    # probes — at the usual n_planes<=16 / multiprobe<=2 this stays tiny)
+    masks = [0]
+    for d in range(1, min(multiprobe, n_planes) + 1):
+        masks += [
+            sum(1 << p for p in bits) for bits in combinations(range(n_planes), d)
+        ]
     probe_buckets = F.array(
-        F.col("bucket"),
-        *([F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
-          if multiprobe >= 1 else []),
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
     )
     queries = (
         base.where(F.col("vec_id") % query_mod == 0)

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tsprofiler_spark.functions.hashing import h32
+from tsprofiler_spark.functions.shingles import word_shingles
 
 # tiny deterministic stopword lists for the n-gram language heuristic
 STOPWORDS = {
@@ -99,16 +100,9 @@ def language_id(documents: DataFrame) -> DataFrame:
 def doc_fingerprints(documents: DataFrame, window: int = 5) -> DataFrame:
     """Winnowing-style fingerprint: min/max h32 over word 5-gram shingles
     (rolling-hash document signature)."""
-    words = _tokens(F.col("text"))
-    shingles = F.when(
-        F.size(words) >= window,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - window),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + F.lit(j + 1)) for j in range(window)]
-            ),
-        ),
-    ).otherwise(F.array(F.lower(F.col("text"))))
+    shingles = word_shingles(
+        F.col("text"), window, short_fallback=F.array(F.lower(F.col("text")))
+    )
     hashes = F.transform(shingles, lambda s: h32(s))
     return documents.select(
         "doc_id",
@@ -131,16 +125,9 @@ def repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
     multiset never leaves its row (aggregate over the sorted shingle array
     counts the max run length). Scan-shaped at 100 TB.
     """
-    words = _tokens(F.col("text"))
-    shingles = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + F.lit(j + 1)) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array(F.lower("text")))
+    shingles = word_shingles(
+        F.col("text"), n, short_fallback=F.array(F.lower(F.col("text")))
+    )
     srt = F.array_sort(shingles)
     total = F.size(srt)
     distinct = F.size(F.array_distinct(srt))

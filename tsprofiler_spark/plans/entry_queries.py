@@ -168,7 +168,7 @@ _register(
 WITH transcripts AS (
 {TRANSCRIPTS_FROM_EVENTS_SQL}
 ),
-sparse AS (SELECT * FROM transcripts WHERE turn_idx % 7 != 3),
+sparse AS (SELECT *, 1 AS obs_marker FROM transcripts WHERE turn_idx % 7 != 3),
 agg AS (
   SELECT conv_id, MAX(turn_idx) AS max_turn, MIN(ts) AS min_ts,
          MIN(turn_idx) AS min_turn
@@ -181,7 +181,7 @@ spine AS (
 ),
 joined AS (
   SELECT s.conv_id, s.turn_idx, t.role, t.text, t.tool, t.ts,
-         s.min_ts, s.min_turn
+         t.obs_marker, s.min_ts, s.min_turn
   FROM spine s LEFT JOIN sparse t USING (conv_id, turn_idx)
 )
 SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
@@ -189,7 +189,7 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
   text,
   COALESCE(tool, last_value(tool IGNORE NULLS) OVER w) AS tool,
   COALESCE(ts, min_ts + to_seconds((turn_idx - min_turn) * 60)) AS ts,
-  CAST(text IS NULL AS INT) AS is_filled
+  CAST(obs_marker IS NULL AS INT) AS is_filled
 FROM joined
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

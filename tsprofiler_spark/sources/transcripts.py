@@ -25,13 +25,16 @@ from tsprofiler_spark.sources.tables import load_table
 # verbatim on BOTH engines (Spark SQL and DuckDB) so driver value-hashes match.
 # role cycles user/assistant/tool by turn_idx; text deterministically embeds
 # the numeric `value` as padding so length(text) carries the series dynamics.
+# Nullable columns are coalesced inside concat: Spark's concat propagates
+# NULL while DuckDB's skips it, so un-coalesced NULL props/event_type would
+# make the two engines derive different transcripts tables.
 TRANSCRIPTS_FROM_EVENTS_SQL = """
 SELECT
   concat('conv-', lpad(CAST(user_id AS STRING), 4, '0'))            AS conv_id,
   CAST(seq AS INT)                                                  AS turn_idx,
   CASE CAST(seq % 3 AS INT)
     WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END      AS role,
-  concat(event_type, ' ', props, ' ',
+  concat(coalesce(event_type, ''), ' ', coalesce(props, ''), ' ',
          repeat('x', GREATEST(0, CAST(FLOOR(value) AS INT) % 97)))  AS text,
   event_type                                                        AS tool,
   ts
