@@ -116,6 +116,13 @@ def test_ann_recall_vs_brute_force(embs):
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in bcos:
             assert bcos[(r.query_id, r.neighbor_id)] == r.cosine_u
+    # Hamming distance 2 probes strictly more buckets: candidate coverage
+    # (and thus recall) must be >= the multiprobe=1 run, never silently
+    # capped at distance 1
+    approx2 = ann_topk(embs, k=10, query_mod=50, n_planes=3, multiprobe=2)
+    a2 = {(r.query_id, r.neighbor_id) for r in approx2.collect()}
+    recall2 = len(a2 & b) / len(b)
+    assert recall2 >= recall
 
 
 def test_textops_sanity(docs):
