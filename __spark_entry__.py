@@ -90,6 +90,16 @@ _DRIVER_ORDER = [
 # rows of dedup_minhash_verified, which is hash-checked). The former
 # rollup_1m/1h/1d entries are gone from the registry entirely — their
 # per-tier plans are the single rollup_tiers entry now.
+#
+# _merged() asserts the registry == _DRIVER_ORDER ∪ this set, so a newly
+# registered query that is not placed in the driver order (or explicitly
+# excluded here with a reason above) fails fast instead of silently
+# shipping driver-unverified — the r2 "unverified tail" failure mode.
+_DRIVER_EXCLUDED = {
+    "parity_profiles",
+    "predictor_simulate",
+    "dedup_minhash_candidates",
+}
 
 
 def _merged() -> tuple[dict, dict]:
@@ -103,6 +113,11 @@ def _merged() -> tuple[dict, dict]:
     o = {**ORACLE, **PIPELINE_ORACLE}
     missing = [n for n in _DRIVER_ORDER if n not in q]
     assert not missing, f"_DRIVER_ORDER names unknown queries: {missing}"
+    unplaced = set(q) - set(_DRIVER_ORDER) - _DRIVER_EXCLUDED
+    assert not unplaced, (
+        f"registered queries neither in _DRIVER_ORDER nor explicitly "
+        f"excluded (they would ship driver-unverified): {sorted(unplaced)}"
+    )
     return q, o
 
 

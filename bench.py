@@ -163,9 +163,11 @@ def main() -> None:
         return timings, counters, rolled
 
     all_passes = []
+    all_counters = []
     for _ in range(max(PASSES, 1)):
         timings, counters, rolled = one_pass()
         all_passes.append(timings)
+        all_counters.append(counters)
 
     # per-stage minimum across passes: outputs are identical each pass, so
     # the fastest observation is the engine's number; slower ones are host
@@ -173,6 +175,13 @@ def main() -> None:
     timings = {
         name: min(p[name] for p in all_passes) for name in all_passes[0]
     }
+    # the per-query docs_family breakdown must come from the SAME pass as
+    # the reported docs_family minimum, or the sub-timings don't reconcile
+    # with the headline stage number (row-count counters are pass-invariant)
+    best_docs = min(
+        range(len(all_passes)), key=lambda i: all_passes[i]["docs_family"]
+    )
+    counters["docs_family_sub"] = all_counters[best_docs]["docs_family_sub"]
     total = round(sum(timings.values()), 3)
     points_per_sec = round(rolled / timings["tiers_merge"], 1)
     print(

@@ -27,6 +27,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
@@ -62,9 +64,17 @@ def main(only: list[str] | None = None):
     queries = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    if only:
+        unknown = [n for n in only if n not in queries]
+        if unknown:
+            # a typo'd filter must not report a false-green "0 failures"
+            print(f"FAIL: requested queries not in the registry: {unknown}")
+            return 1
+    ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
@@ -99,6 +109,9 @@ def main(only: list[str] | None = None):
             failures += 1
         else:
             print(f"OK   {name}: {len(srows)} rows match")
+    if ran == 0:
+        print("FAIL: no queries ran")
+        return 1
     print(f"\n{failures} failures")
     return failures
 

@@ -226,11 +226,11 @@ def main() -> None:
 def _run_probes(spark, args, master: str) -> None:
     """Controlled scaling probes under the SAME harness as the pipeline.
 
-    cpu_probe: ~10^9 rows of chained transcendental math reduced to one
+    cpu_probe: 600M rows of chained transcendental math reduced to one
     scalar — whole-stage codegen, zero shuffle bytes, per-task working set
     in registers. If the host's cores scale, this reaches efficiency ~1.0.
 
-    shuffle_probe: ~6M rows carrying a 256-byte payload pushed through a
+    shuffle_probe: 25M rows carrying a 256-byte payload pushed through a
     full 128-partition exchange then hash-aggregated — the memory-bandwidth
     shape of the engine's groupBy/MERGE stages, with trivial compute.
 

@@ -116,6 +116,22 @@ tx_counts AS (
 """.strip()
 
 
+_CTE_TRANSCRIPTS_SERIES = f"""transcripts AS (
+{TRANSCRIPTS_FROM_EVENTS_SQL}
+),
+series AS (
+  {_SERIES_SELECT_SINGLE}
+)"""
+
+# the minute-granularity tier partials CTE shared by every tier-family
+# oracle (one definition so the bucketing scheme cannot drift per-oracle)
+_CTE_TIER_MINUTE = f"""tier AS (
+  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(value) AS n, SUM(value) AS s1
+  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
+)"""
+
+
 def _q(sql_body: str) -> str:
     return f"WITH {_CTE_SERIES}\n{sql_body}"
 
@@ -447,14 +463,7 @@ _register(
     "rollup_tiers",
     _q_rollup_tiers,
     f"""
-WITH transcripts AS (
-{TRANSCRIPTS_FROM_EVENTS_SQL}
-),
-series AS (
-  SELECT conv_id, tool, role, turn_idx, ts,
-         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
-  FROM transcripts
-)
+WITH {_CTE_TRANSCRIPTS_SERIES}
 {" UNION ALL ".join(_rollup_tier_select(t, tr) for t, tr in _TIER_SQL_TRUNC.items())}
 """.strip(),
 )
@@ -473,14 +482,7 @@ _register(
     "tier_tx_1h",
     q_tier_tx_1h,
     f"""
-WITH transcripts AS (
-{TRANSCRIPTS_FROM_EVENTS_SQL}
-),
-series AS (
-  SELECT conv_id, tool, role, turn_idx, ts,
-         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
-  FROM transcripts
-),
+WITH {_CTE_TRANSCRIPTS_SERIES},
 tier AS (
   SELECT {SERIES}, metric, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
          COUNT(value) AS n, SUM(value) AS s1
@@ -537,19 +539,8 @@ _register(
     "rollup_asof",
     q_rollup_asof,
     f"""
-WITH transcripts AS (
-{TRANSCRIPTS_FROM_EVENTS_SQL}
-),
-series AS (
-  SELECT conv_id, tool, role, turn_idx, ts,
-         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
-  FROM transcripts
-),
-tier AS (
-  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
-         COUNT(value) AS n, SUM(value) AS s1
-  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
-)
+WITH {_CTE_TRANSCRIPTS_SERIES},
+{_CTE_TIER_MINUTE}
 SELECT s.conv_id, s.tool, s.role, s.metric, s.turn_idx, s.ts, s.value,
        t.n AS n_asof, t.s1 AS s1_asof
 FROM series s ASOF LEFT JOIN tier t
@@ -577,14 +568,7 @@ _register(
     "downsample_m4",
     q_downsample_m4,
     f"""
-WITH transcripts AS (
-{TRANSCRIPTS_FROM_EVENTS_SQL}
-),
-series AS (
-  SELECT conv_id, tool, role, turn_idx, ts,
-         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
-  FROM transcripts
-),
+WITH {_CTE_TRANSCRIPTS_SERIES},
 m AS (
   SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
          COUNT(value) AS n,
@@ -624,19 +608,8 @@ _register(
     "anomaly_zscore",
     q_anomaly_zscore,
     f"""
-WITH transcripts AS (
-{TRANSCRIPTS_FROM_EVENTS_SQL}
-),
-series AS (
-  SELECT conv_id, tool, role, turn_idx, ts,
-         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
-  FROM transcripts
-),
-tier AS (
-  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
-         COUNT(value) AS n, SUM(value) AS s1
-  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
-),
+WITH {_CTE_TRANSCRIPTS_SERIES},
+{_CTE_TIER_MINUTE},
 b AS (
   SELECT {SERIES}, metric, bucket_start, n,
          CAST(FLOOR(s1 / n * 1000 + 0.5) AS BIGINT) AS avg_mu
@@ -684,19 +657,8 @@ _register(
     "tier_delta",
     q_tier_delta,
     f"""
-WITH transcripts AS (
-{TRANSCRIPTS_FROM_EVENTS_SQL}
-),
-series AS (
-  SELECT conv_id, tool, role, turn_idx, ts,
-         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
-  FROM transcripts
-),
-tier AS (
-  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
-         COUNT(value) AS n, SUM(value) AS s1
-  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
-),
+WITH {_CTE_TRANSCRIPTS_SERIES},
+{_CTE_TIER_MINUTE},
 b AS (
   SELECT {SERIES}, metric, bucket_start, n,
          CAST(FLOOR(s1 / n * 1000 + 0.5) AS BIGINT) AS avg_mu
@@ -732,14 +694,7 @@ _register(
     "topk_series_daily",
     q_topk_series_daily,
     f"""
-WITH transcripts AS (
-{TRANSCRIPTS_FROM_EVENTS_SQL}
-),
-series AS (
-  SELECT conv_id, tool, role, turn_idx, ts,
-         'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
-  FROM transcripts
-),
+WITH {_CTE_TRANSCRIPTS_SERIES},
 tier AS (
   SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
          COUNT(value) AS n
@@ -934,11 +889,7 @@ series AS (
          'len_text' AS metric, CAST(length(text) AS DOUBLE) AS value
   FROM transcripts
 ),
-tier AS (
-  SELECT {SERIES}, metric, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
-         COUNT(value) AS n, SUM(value) AS s1
-  FROM series GROUP BY {SERIES}, metric, date_trunc('minute', ts)
-),
+{_CTE_TIER_MINUTE},
 wm AS (SELECT MAX(bucket_start) AS w FROM tier)
 SELECT {SERIES}, metric, bucket_start, n, s1
 FROM tier, wm

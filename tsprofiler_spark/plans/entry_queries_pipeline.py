@@ -719,7 +719,6 @@ def _q_dedup_embedding(spark, sf):
     return embedding_near_dups(aug, threshold=0.97, n_planes=6)
 
 
-_W_PLANE6 = _W_PLANE
 
 _register(
     "dedup_embedding",
@@ -735,7 +734,7 @@ pert AS (
 ),
 base AS (SELECT * FROM orig UNION ALL SELECT * FROM pert),
 planes AS (
-  SELECT p, d, (({_W_PLANE6}) % 2001 - 1000) / 1000.0 AS w
+  SELECT p, d, (({_W_PLANE}) % 2001 - 1000) / 1000.0 AS w
   FROM (SELECT unnest(generate_series(0, 5)) AS p) ps CROSS JOIN dims
 ),
 x AS (SELECT vec_id, d, emb[d] AS v FROM base CROSS JOIN dims),
@@ -770,6 +769,53 @@ def _q_sim_ivf_kmeans_topk(spark, sf):
     embs = _embs(spark, sf)
     cents = kmeans_integer(embs, n_centroids=8, iters=3)
     return ivf_topk(embs, k=10, query_mod=100, n_probe=3, centroids=cents)
+
+
+def _ivf_probe_score_tail(dim=64, n_probe=3, k=10, query_mod=100):
+    """assign/probe/score/rank tail shared by BOTH IVF oracles (learned and
+    fixed quantizer) — one definition of the probe-ranking epsilon, the
+    tie-breaks, and the cosine formula, so the fixed-quantizer twin grades
+    exactly the same machinery as the learned-quantizer query. Expects
+    CTEs ``base(vec_id, emb)`` and ``cent(centroid_id, centroid)``."""
+    return f"""assign0 AS (
+  SELECT b.vec_id, c.centroid_id,
+    list_sum([pow(b.emb[d] - c.centroid[d], 2) for d in generate_series(1, {dim})]) AS d2
+  FROM base b CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id % {query_mod} = 0),
+probes AS (
+  SELECT query_id, q_emb, centroid_id FROM (
+    SELECT q.query_id, q.q_emb, c.centroid_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.q_emb, c.centroid)
+                 / (1e-12 + sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                 c.centroid_id
+      ) AS probe_rank
+    FROM q CROSS JOIN cent c
+  ) WHERE probe_rank <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+    list_dot_product(p.q_emb, b.emb)
+      / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+  FROM probes p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN base b ON b.vec_id = a.vec_id
+  WHERE b.vec_id != p.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
 
 
 def _ivf_kmeans_oracle(n_centroids=8, iters=3, dim=64, n_probe=3, k=10, query_mod=100):
@@ -824,45 +870,7 @@ c{t} AS (
     parts.append(
         f""",
 cent AS (SELECT centroid_id, [c / 1000000.0 for c in cu] AS centroid FROM c{iters}),
-assign0 AS (
-  SELECT b.vec_id, c.centroid_id,
-    list_sum([pow(b.emb[d] - c.centroid[d], 2) for d in generate_series(1, {dim})]) AS d2
-  FROM base b CROSS JOIN cent c
-),
-assigned AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
-    FROM assign0
-  ) WHERE rn = 1
-),
-q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id % {query_mod} = 0),
-probes AS (
-  SELECT query_id, q_emb, centroid_id FROM (
-    SELECT q.query_id, q.q_emb, c.centroid_id,
-      ROW_NUMBER() OVER (
-        PARTITION BY q.query_id
-        ORDER BY list_dot_product(q.q_emb, c.centroid)
-                 / (1e-12 + sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
-                 c.centroid_id
-      ) AS probe_rank
-    FROM q CROSS JOIN cent c
-  ) WHERE probe_rank <= {n_probe}
-),
-scored AS (
-  SELECT p.query_id, b.vec_id AS neighbor_id,
-    list_dot_product(p.q_emb, b.emb)
-      / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-  FROM probes p
-  JOIN assigned a ON a.centroid_id = p.centroid_id
-  JOIN base b ON b.vec_id = a.vec_id
-  WHERE b.vec_id != p.query_id
-),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {k}"""
+{_ivf_probe_score_tail(dim=dim, n_probe=n_probe, k=k, query_mod=query_mod)}"""
     )
     return "".join(parts).strip()
 
@@ -898,52 +906,14 @@ def _q_sim_ivf_fixed_topk(spark, sf):
 _register(
     "sim_ivf_fixed_topk",
     _q_sim_ivf_fixed_topk,
-    """
+    f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 cent AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
          emb AS centroid
   FROM base WHERE vec_id % 61 = 3
 ),
-assign0 AS (
-  SELECT b.vec_id, c.centroid_id,
-    list_sum([pow(b.emb[d] - c.centroid[d], 2) for d in generate_series(1, 64)]) AS d2
-  FROM base b CROSS JOIN cent c
-),
-assigned AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
-    FROM assign0
-  ) WHERE rn = 1
-),
-q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id % 100 = 0),
-probes AS (
-  SELECT query_id, q_emb, centroid_id FROM (
-    SELECT q.query_id, q.q_emb, c.centroid_id,
-      ROW_NUMBER() OVER (
-        PARTITION BY q.query_id
-        ORDER BY list_dot_product(q.q_emb, c.centroid)
-                 / (1e-12 + sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
-                 c.centroid_id
-      ) AS probe_rank
-    FROM q CROSS JOIN cent c
-  ) WHERE probe_rank <= 3
-),
-scored AS (
-  SELECT p.query_id, b.vec_id AS neighbor_id,
-    list_dot_product(p.q_emb, b.emb)
-      / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-  FROM probes p
-  JOIN assigned a ON a.centroid_id = p.centroid_id
-  JOIN base b ON b.vec_id = a.vec_id
-  WHERE b.vec_id != p.query_id
-),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 10
+{_ivf_probe_score_tail(dim=64, n_probe=3, k=10, query_mod=100)}
 """.strip(),
 )
 
