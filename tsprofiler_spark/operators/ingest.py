@@ -63,7 +63,11 @@ def derive_multi_series(
     )
 
 
-def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
+def gap_fill(
+    transcripts: DataFrame,
+    step_seconds: int = 60,
+    payload_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
     """Fill missing turn_idx values per conversation — join-free.
 
     Equivalent to exploding a 0..max(turn_idx) spine per conversation and
@@ -86,6 +90,14 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
     observed side (driver-sized hash relation — catastrophic) or adds two
     exchanges on (conv_id, turn_idx). The window form needs a single
     exchange on conv_id and no join at all.
+
+    ``payload_cols``: columns carried through the window untouched on
+    observed rows and NULL on gap rows (default: the raw ``text``).
+    Callers that only need DERIVED metrics downstream pass slim
+    pre-computed columns instead (see ``gap_fill_slim``) so the window's
+    exchange+sort moves a few doubles per row, not the text payload —
+    at 10^12 turns the sort's shuffle volume is the profile pipeline's
+    single biggest byte mover.
     """
     from pyspark.sql import Window
 
@@ -97,7 +109,7 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
         "conv_id",
         "turn_idx",
         "role",
-        "text",
+        *payload_cols,
         "tool",
         "ts",
         F.lag("turn_idx").over(w).alias("prev_turn"),
@@ -109,7 +121,7 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
     exploded = annotated.select(
         "conv_id",
         "role",
-        "text",
+        *payload_cols,
         "tool",
         "ts",
         "prev_role",
@@ -126,16 +138,17 @@ def gap_fill(transcripts: DataFrame, step_seconds: int = 60) -> DataFrame:
             )
         ).alias("turn_idx"),
     )
-    return _assemble_filled(exploded, step_seconds)
+    return _assemble_filled(exploded, step_seconds, payload_cols)
 
 
-def _assemble_filled(exploded: DataFrame, step_seconds: int) -> DataFrame:
+def _assemble_filled(
+    exploded: DataFrame, step_seconds: int, payload_cols: tuple[str, ...] = ("text",)
+) -> DataFrame:
     """Final projection shared by gap_fill and gap_fill_segmented: observed
-    rows keep text/ts untouched (role/tool LOCF-backfilled when NULL); gap
-    rows carry the last non-null preceding role/tool, NULL text, and an
-    interpolated ts."""
+    rows keep payload/ts untouched (role/tool LOCF-backfilled when NULL);
+    gap rows carry the last non-null preceding role/tool, NULL payload, and
+    an interpolated ts."""
     is_obs = F.col("turn_idx") == F.col("obs_turn")
-    out_text = F.when(is_obs, F.col("text"))
     filled_ts = F.when(is_obs, F.col("ts")).otherwise(
         F.col("min_ts")
         + F.make_interval(
@@ -149,20 +162,23 @@ def _assemble_filled(exploded: DataFrame, step_seconds: int) -> DataFrame:
         F.when(is_obs, F.coalesce(F.col("role"), F.col("prev_role")))
         .otherwise(F.col("prev_role"))
         .alias("role"),
-        out_text.alias("text"),
+        *[F.when(is_obs, F.col(c)).alias(c) for c in payload_cols],
         F.when(is_obs, F.coalesce(F.col("tool"), F.col("prev_tool")))
         .otherwise(F.col("prev_tool"))
         .alias("tool"),
         filled_ts.alias("ts"),
-        # derived from turn identity, NOT text nullability: an observed turn
-        # whose text is NULL must stay is_filled=false (its value is a real
-        # observation, not a LOCF gap)
+        # derived from turn identity, NOT payload nullability: an observed
+        # turn whose text is NULL must stay is_filled=false (its value is a
+        # real observation, not a LOCF gap)
         (~is_obs).alias("is_filled"),
     )
 
 
 def gap_fill_segmented(
-    transcripts: DataFrame, step_seconds: int = 60, segment_turns: int = 65536
+    transcripts: DataFrame,
+    step_seconds: int = 60,
+    segment_turns: int = 65536,
+    payload_cols: tuple[str, ...] = ("text",),
 ) -> DataFrame:
     """Skew-safe `gap_fill`: identical output, bounded work per task.
 
@@ -190,7 +206,7 @@ def gap_fill_segmented(
         "conv_id",
         "turn_idx",
         "role",
-        "text",
+        *payload_cols,
         "tool",
         "ts",
         "_seg",
@@ -231,7 +247,7 @@ def gap_fill_segmented(
     exploded = j.select(
         "conv_id",
         "role",
-        "text",
+        *payload_cols,
         "tool",
         "ts",
         F.coalesce(F.col("_lp_role"), F.col("_prev_seg_role")).alias("prev_role"),
@@ -246,7 +262,63 @@ def gap_fill_segmented(
             )
         ).alias("turn_idx"),
     )
-    return _assemble_filled(exploded, step_seconds)
+    return _assemble_filled(exploded, step_seconds, payload_cols)
+
+
+def gap_fill_slim(
+    transcripts: DataFrame,
+    metrics: tuple[str, ...] | None = None,
+    step_seconds: int = 60,
+    segment_turns: int | None = None,
+) -> DataFrame:
+    """Gap-fill + metric derivation fused, text never enters the shuffle.
+
+    Value-identical to ``derive_series(gap_fill(t))`` (``metrics=None``) or
+    ``derive_multi_series(gap_fill(t), metrics)`` — pinned by
+    tests/test_gap_fill_slim.py — but the metric expressions are computed at
+    the SCAN, so the gap-fill window's exchange+sort carries one double per
+    metric instead of the raw text column. At transcript scale the text
+    payload dominates that sort's bytes (the profile pipeline's widest
+    shuffle); slimming it is the difference between shuffling the corpus
+    and shuffling its measurements. Output: (conv_id, tool, role, turn_idx,
+    ts, metric, value) with value NULL on gap rows (callers LOCF via
+    ``gap_fill_series``, exactly as on the unfused path).
+    """
+    single = metrics is None
+    mets = ("len_text",) if single else metrics
+    vcols = tuple(f"_v{i}" for i in range(len(mets)))
+    slim = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        *[
+            F.expr(METRIC_EXPRS[m]).alias(v)
+            for m, v in zip(mets, vcols)
+        ],
+    )
+    if segment_turns:
+        filled = gap_fill_segmented(
+            slim, step_seconds=step_seconds, segment_turns=segment_turns,
+            payload_cols=vcols,
+        )
+    else:
+        filled = gap_fill(slim, step_seconds=step_seconds, payload_cols=vcols)
+    if single:
+        # matches derive_series's column order/naming exactly
+        return filled.select(
+            *SERIES_COLS,
+            "turn_idx",
+            "ts",
+            F.lit("len_text").alias("metric"),
+            F.col(vcols[0]).alias("value"),
+        )
+    pairs = ", ".join(f"'{m}', {v}" for m, v in zip(mets, vcols))
+    return filled.selectExpr(
+        "conv_id", "tool", "role", "turn_idx", "ts",
+        f"stack({len(mets)}, {pairs}) AS (metric, value)",
+    )
 
 
 def filter_outliers(series: DataFrame, k: int) -> DataFrame:

@@ -19,6 +19,7 @@ from tsprofiler_spark.operators.ingest import (
     gap_fill,
     gap_fill_segmented,
     gap_fill_series,
+    gap_fill_slim,
 )
 from tsprofiler_spark.operators.profile import (
     assemble_profile,
@@ -77,14 +78,26 @@ def profile_pipeline(
         return derive_series(df)
 
     if do_gap_fill:
+        # stages["gap_filled"] keeps the full filled-transcript view (text
+        # included) for consumers of the intermediate; the profile's own
+        # series path uses the FUSED slim form — metric expressions computed
+        # at the scan so the gap-fill window's sort shuffles doubles, not
+        # text. Value-equality of the two paths is pinned by
+        # tests/test_gap_fill_slim.py.
         if segment_turns:
-            t = gap_fill_segmented(
+            stages["gap_filled"] = gap_fill_segmented(
                 transcripts, step_seconds=step_seconds, segment_turns=segment_turns
             )
         else:
-            t = gap_fill(transcripts, step_seconds=step_seconds)
-        stages["gap_filled"] = t
-        series = gap_fill_series(_derive(t))
+            stages["gap_filled"] = gap_fill(transcripts, step_seconds=step_seconds)
+        series = gap_fill_series(
+            gap_fill_slim(
+                transcripts,
+                metrics,
+                step_seconds=step_seconds,
+                segment_turns=segment_turns,
+            )
+        )
     else:
         series = _derive(t)
     stages["series"] = series
