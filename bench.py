@@ -128,14 +128,19 @@ def main() -> None:
         # 6. the driver-checked query family on real events data
         from tsprofiler_spark.plans.entry_queries import QUERIES
 
+        events_sub: dict[str, float] = {}
+
         def events_family():
             total = 0
             for name in ("chunk_states", "transition_probs", "rollup_tiers",
                          "tier_tx_1h", "downsample_m4", "session_stats"):
+                t0 = time.perf_counter()
                 total += QUERIES[name](spark, SF_DIR).count()
+                events_sub[name] = round(time.perf_counter() - t0, 3)
             return total
 
         counters["events_family_rows"] = timed("events_family", events_family)
+        counters["events_family_sub"] = events_sub
 
         # 7. the LLM-training-data family on the documents/embeddings tables
         from tsprofiler_spark.plans.entry_queries_pipeline import PIPELINE_QUERIES
@@ -182,6 +187,10 @@ def main() -> None:
         range(len(all_passes)), key=lambda i: all_passes[i]["docs_family"]
     )
     counters["docs_family_sub"] = all_counters[best_docs]["docs_family_sub"]
+    best_events = min(
+        range(len(all_passes)), key=lambda i: all_passes[i]["events_family"]
+    )
+    counters["events_family_sub"] = all_counters[best_events]["events_family_sub"]
     total = round(sum(timings.values()), 3)
     points_per_sec = round(rolled / timings["tiers_merge"], 1)
     print(
