@@ -48,22 +48,78 @@ def hash_rows(rows, colnames):
     return h.hexdigest()[:16]
 
 
+# Types DuckDB may legally emit from an oracle: everything here crosses Arrow
+# with the same physical representation Spark uses. Anything else — HUGEINT
+# (SUM over BIGINT), DECIMAL (SUM over INT), unsigned ints — hash-mismatches
+# the driver even when values are identical (cost rounds 1-3: series_stats,
+# text_pack_sequences). LIST/STRUCT payloads are linted on their element type.
+_OK_TYPES = {
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "BLOB",
+}
+
+
+def _type_ok(t: str) -> bool:
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return _type_ok(t[:-2])
+    if t.startswith("STRUCT(") and t.endswith(")"):
+        # best-effort: flag if any banned keyword appears inside
+        inner = t[7:-1]
+        return not any(bad in inner for bad in ("HUGEINT", "DECIMAL", "UINTEGER", "UBIGINT", "USMALLINT", "UTINYINT"))
+    return t in _OK_TYPES
+
+
+def lint_oracle_types(con, oracles) -> int:
+    """DESCRIBE every oracle in DuckDB; fail on any column whose type is not
+    Arrow-identical to a Spark type (r3 verdict ask #2). DESCRIBE only plans,
+    so this is near-free and runs before the row-level compare."""
+    bad = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+        except Exception as e:
+            print(f"LINT FAIL {name}: describe error: {str(e).splitlines()[0]}")
+            bad += 1
+            continue
+        offending = [(c, t) for c, t, *_ in desc if not _type_ok(t)]
+        if offending:
+            print(f"LINT FAIL {name}: non-portable oracle column types: {offending}")
+            bad += 1
+    if bad:
+        print(f"\noracle type lint: {bad} oracle(s) with non-portable types")
+    else:
+        print("oracle type lint: all columns portable")
+    return bad
+
+
 def main(only: list[str] | None = None):
-    from tsprofiler_spark.session import get_spark
+    lint_only = bool(only) and "--lint" in only
+    if lint_only:
+        only = [a for a in only if a != "--lint"] or None
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
 
-    spark = get_spark(app_name="check-oracle", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    if lint_only:
+        oracles = entry.oracle_sql()
+        if only:
+            oracles = {n: s for n, s in oracles.items() if n in only}
+        return lint_oracle_types(con, oracles)
+
+    from tsprofiler_spark.session import get_spark
+
+    spark = get_spark(app_name="check-oracle", cores=8, shuffle_partitions=8)
+
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    failures = 0
+    failures = lint_oracle_types(con, oracles if not only else {n: s for n, s in oracles.items() if n in only})
     if only:
         unknown = [n for n in only if n not in queries]
         if unknown:

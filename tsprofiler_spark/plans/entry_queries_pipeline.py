@@ -536,8 +536,12 @@ WITH d AS (
   FROM documents
 ),
 c AS (
-  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
-           AS start_offset
+  -- CAST is load-bearing: DuckDB types SUM(BIGINT) as HUGEINT, which crosses
+  -- Arrow as decimal128(38,0) and hash-mismatches Spark's int64 even when the
+  -- values are identical (r3 verdict root cause — the only non-standard-typed
+  -- column in the whole oracle contract).
+  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
+           AS BIGINT) AS start_offset
   FROM d
 )
 SELECT doc_id, shard, n_tokens, start_offset,
