@@ -192,7 +192,13 @@ def main() -> None:
     )
     counters["events_family_sub"] = all_counters[best_events]["events_family_sub"]
     total = round(sum(timings.values()), 3)
-    points_per_sec = round(rolled / timings["tiers_merge"], 1)
+    # headline counter = the best pass (min time); the band across passes is
+    # reported alongside so a single-pass host-steal wobble is visibly
+    # measurement spread, not an engine change (r3 verdict ask #6)
+    pps_all = sorted(
+        round(rolled / p["tiers_merge"], 1) for p in all_passes
+    )
+    points_per_sec = pps_all[-1]
     print(
         json.dumps(
             {
@@ -206,6 +212,7 @@ def main() -> None:
                 "counters": counters,
                 "rolled_points": rolled,
                 "points_per_sec": points_per_sec,
+                "points_per_sec_band": [pps_all[0], pps_all[-1]],
             }
         )
     )

@@ -93,3 +93,17 @@ def test_slim_on_synth_corpus(spark):
     unfused = derive_series(gap_fill(t, step_seconds=60))
     diff = slim.exceptAll(unfused).count() + unfused.exceptAll(slim).count()
     assert diff == 0
+
+
+def test_slim_empty_metrics_tuple_is_single_metric(spark):
+    """metrics=() (falsy but not None) must take the single-metric default,
+    not generate `stack(0, )` — ADVICE r3; derive_multi_series itself
+    refuses an empty tuple outright."""
+    import pytest
+
+    t = _tricky(spark)
+    assert _rows(gap_fill_slim(t, (), step_seconds=60)) == _rows(
+        gap_fill_slim(t, None, step_seconds=60)
+    )
+    with pytest.raises(ValueError, match="at least one metric"):
+        derive_multi_series(t, ())

@@ -80,3 +80,17 @@ def test_kmeans_integer_small_corpus_degrades(spark):
     )
     cents = kmeans_integer(tiny, n_centroids=8, iters=2).collect()
     assert len(cents) == 5
+
+
+def test_kmeans_integer_expression_budget_guard(spark):
+    """k*dim over the literal-expression budget must fail fast with the
+    remedy named, not hand Catalyst a quarter-million-node tree."""
+    import pytest
+
+    from tsprofiler_spark.operators.similarity import kmeans_integer
+
+    tiny = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ivf_index"):
+        kmeans_integer(tiny, n_centroids=4096, iters=1)

@@ -253,6 +253,11 @@ def main() -> None:
                     "--coherence is a coherent scaling measurement — the "
                     "report selects the best coherent pair, so one session "
                     "yields a same-window ratio even on a bursty host")
+    ap.add_argument("--leg-stability", type=float, default=None,
+                    help="max warm-pass spread within a leg for it to count "
+                         "as stable (defaults to --coherence; separate knob "
+                         "so tuning the probe-bracket threshold does not "
+                         "silently retune the within-leg gate)")
     ap.add_argument("--coherence", type=float, default=0.10,
                     help="max relative spread among a pair's bracketing "
                     "host probes for the pair to count as coherent")
@@ -366,6 +371,19 @@ def main() -> None:
 
 
 def _interleaved_main(args, zpath: str) -> None:
+    # with --passes < 3 there is at most one warm pass per leg, so
+    # warm_pass_spread is None and EVERY pair would be classed unstable —
+    # the headline would silently null for lack of data, not host noise.
+    # Refuse up front with a diagnostic instead (ADVICE r3).
+    if args.passes < 3:
+        raise SystemExit(
+            f"--interleave requires --passes >= 3 (got {args.passes}): the "
+            "warm-pass repeatability gate needs >= 2 warm passes per leg; "
+            "with fewer, every pair is marked incoherent for LACK OF DATA "
+            "and scaling_efficiency_total is null regardless of host state"
+        )
+    if args.leg_stability is None:
+        args.leg_stability = args.coherence
     """R rounds of (probe, N leg, probe, 4N leg), ending with a probe —
     chronological sequence P0 N1 P1 F1 P2 N2 P3 F2 P4 ... Every adjacent
     (N, 4N) or (4N, N) leg pair is a candidate ratio; a pair COUNTS when
@@ -446,7 +464,7 @@ def _interleaved_main(args, zpath: str) -> None:
         spread = round(max(bracket) / min(bracket) - 1.0, 4)
         leg_spreads = [a["warm_pass_spread"], b["warm_pass_spread"]]
         legs_stable = all(
-            s is not None and s <= args.coherence for s in leg_spreads
+            s is not None and s <= args.leg_stability for s in leg_spreads
         )
         eff = round(small["value"] / (factor * large["value"]), 3)
         pairs.append({
@@ -475,6 +493,7 @@ def _interleaved_main(args, zpath: str) -> None:
         "probe_samples_mops": probe_samples, "pairs": pairs,
         "coherent_pairs": len(coherent),
         "coherence_threshold": args.coherence,
+        "leg_stability_threshold": args.leg_stability,
         "selected_pair": selected,
         # The headline scalar carries an efficiency ONLY when the harness's
         # own coherence test passed; a window with zero coherent pairs is

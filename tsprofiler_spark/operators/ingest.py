@@ -55,6 +55,8 @@ def derive_multi_series(
     exactly one row per metric, so per-metric ``row_number()`` ranks are
     equal for equal turns.
     """
+    if not metrics:
+        raise ValueError("derive_multi_series requires at least one metric")
     n = len(metrics)
     pairs = ", ".join(f"'{m}', {METRIC_EXPRS[m]}" for m in metrics)
     return transcripts.selectExpr(
@@ -284,7 +286,9 @@ def gap_fill_slim(
     ts, metric, value) with value NULL on gap rows (callers LOCF via
     ``gap_fill_series``, exactly as on the unfused path).
     """
-    single = metrics is None
+    # empty tuple would generate `stack(0, )` — invalid SQL; treat it like
+    # None (single-metric default), same falsy contract as derive_multi_series
+    single = not metrics
     mets = ("len_text",) if single else metrics
     vcols = tuple(f"_v{i}" for i in range(len(mets)))
     slim = transcripts.select(

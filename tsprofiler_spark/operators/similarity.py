@@ -261,6 +261,17 @@ def kmeans_integer(
     (centroid_id int, centroid array<double>) with centroid =
     micro-units / 1e6 (one IEEE division — exact to reproduce in SQL).
     """
+    # the per-round assignment inlines n_centroids*dim literal subtrees into
+    # ONE Catalyst expression — fine at the IVF coarse-quantizer scale
+    # (k*dim = 16*64 = 1k), but a k=4096 caller would hand Catalyst a
+    # multi-hundred-thousand-node tree (codegen blowup / 64KB method limit).
+    # Fail fast with the remedy instead.
+    if n_centroids * dim > 16_384:
+        raise ValueError(
+            f"kmeans_integer: n_centroids*dim = {n_centroids}*{dim} = "
+            f"{n_centroids * dim} exceeds the 16384 literal-expression "
+            "budget; use ivf_index (MLlib KMeans) for large codebooks"
+        )
     base = _spread(embeddings).select(
         "vec_id",
         F.transform(
