@@ -1,0 +1,156 @@
+"""parity_phases: the phase-detection fold (reference phase.go:64-206) as a
+value-checkable relation.
+
+Layer 1 pins the DuckDB recursive-CTE oracle tail against the Python Phase
+kernel on adversarial state sequences (multi-phase regimes, scan jump-backs,
+the create-new-phase off-by-one, float32 likeliness window edges) — the same
+harness the oracle was validated on before registration.
+
+Layer 2 pins the Spark `parity_phases` plan (applyInPandas fold +
+ReferenceProfiler.phase_trace) against a direct kernel replay, including the
+empty-trace edge (series shorter than one chunk).
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+from tsprofiler_spark.kernel.counter import TSState
+from tsprofiler_spark.kernel.phase import Phase
+from tsprofiler_spark.kernel.stats import TSStats
+
+STATES = 8
+HIST = 4
+THRESH = 0.5
+
+
+def _py_trace(seq):
+    ph = Phase(
+        history=1, states=STATES, buffer_size=4,
+        phase_likeliness=THRESH, phase_history=HIST,
+        phase_history_fadeout=False,
+    )
+    out = []
+    for s in seq:
+        ts = TSState(
+            metric="len_text", state=int(s),
+            stats=TSStats(min=0.0, max=128.0, stddev=0.0,
+                          avg=float(s), count=4, stddev_sum=0.0),
+        )
+        ph.count([ts])
+        out.append((ph.phase_pointer, len(ph.phase_counters)))
+    return out
+
+
+def _sequences():
+    rng = np.random.default_rng(7)
+    seqs = {}
+    for sid in range(30):
+        n = int(rng.integers(1, 120))
+        if sid % 3 == 0:
+            seq = rng.integers(0, STATES, n)
+        elif sid % 3 == 1:
+            # two-regime series: forces new-phase creation and (often) a
+            # scan jump back to a previously-built phase
+            seq = np.concatenate(
+                [rng.integers(0, 2, n // 2 + 1), rng.integers(6, 8, n // 2)]
+            )[:n]
+        else:
+            # strictly periodic regimes: likeliness saturates, then drops
+            # hard at the boundary
+            seq = np.concatenate([
+                np.tile([1, 2], n // 4 + 1)[: n // 2],
+                np.tile([5, 6, 7], n // 2 + 1)[: n - n // 2],
+            ])
+        seqs[sid] = [int(s) for s in seq]
+    # directed edges: constant series (likeliness 1 forever), single chunk,
+    # immediate oscillation shorter than the window
+    seqs[100] = [3] * 20
+    seqs[101] = [5]
+    seqs[102] = [0, 7, 0, 7, 0, 7, 0, 7]
+    return seqs
+
+
+def test_oracle_tail_matches_kernel_on_adversarial_sequences():
+    from tsprofiler_spark.plans.entry_queries_pipeline import _phase_fold_tail
+
+    seqs = _sequences()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE states(conv_id VARCHAR, tool VARCHAR, role VARCHAR,"
+        " bucket_idx BIGINT, state BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO states VALUES (?,?,?,?,?)",
+        [(str(sid), "t", "r", k, s)
+         for sid, seq in seqs.items() for k, s in enumerate(seq)],
+    )
+    got = {}
+    rows = con.sql(
+        "WITH RECURSIVE " + _phase_fold_tail()
+        + " ORDER BY conv_id, chunk_idx"
+    ).fetchall()
+    for conv_id, _, _, _, pid, n in rows:
+        got.setdefault(int(conv_id), []).append((pid, n))
+    multi = jump = 0
+    for sid, seq in seqs.items():
+        want = _py_trace(seq)
+        assert got.get(sid, []) == want, f"sid {sid} diverged"
+        if want[-1][1] > 1:
+            multi += 1
+        seen = set()
+        for i, (p, _) in enumerate(want):
+            if i and p != want[i - 1][0] and p in seen and p != max(seen):
+                jump += 1
+                break
+            seen.add(p)
+    # the corpus must actually exercise the hard paths, or the equality
+    # above proves nothing
+    assert multi >= 10, multi
+    assert jump >= 5, jump
+
+
+def test_spark_parity_phases_matches_kernel(spark):
+    import datetime
+
+    from tsprofiler_spark.config import Settings
+    from tsprofiler_spark.plans.parity import parity_phases
+
+    settings = Settings(
+        buffer_size=4, states=STATES, history=1, fix_bound=True,
+        fixed_min=0.0, fixed_max=128.0, period_size=(4, 6),
+        phase_change_likeliness=THRESH, phase_change_history=HIST,
+    )
+    t0 = datetime.datetime(2025, 1, 1)
+    rng = np.random.default_rng(3)
+    rows, want = [], {}
+    for conv in range(6):
+        n_turns = int(rng.integers(2, 200))  # conv 0..: some < buffer_size
+        vals = rng.integers(0, 129, n_turns)
+        key = (f"c{conv}", "tool", "user")
+        for i, v in enumerate(vals):
+            rows.append(
+                (key[0], key[1], key[2], i,
+                 t0 + datetime.timedelta(minutes=i), "len_text", float(v))
+            )
+        from tsprofiler_spark.kernel.profiler import ReferenceProfiler
+
+        prof = ReferenceProfiler(settings)
+        prof.put_series(np.asarray(vals, dtype=np.float64), metric="len_text")
+        want[key] = [
+            (k, p, n) for k, (p, n) in enumerate(prof.phase_trace)
+        ]
+    series = spark.createDataFrame(
+        rows,
+        "conv_id string, tool string, role string, turn_idx int,"
+        " ts timestamp, metric string, value double",
+    )
+    got = {}
+    for r in parity_phases(series, settings).collect():
+        got.setdefault((r.conv_id, r.tool, r.role), []).append(
+            (r.chunk_idx, r.phase_id, r.n_phases)
+        )
+    for key, trace in want.items():
+        assert sorted(got.get(key, [])) == trace, key
+    # short series produce no rows, and nothing else appears
+    assert set(got) == {k for k, tr in want.items() if tr}

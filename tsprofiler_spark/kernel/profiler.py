@@ -68,6 +68,10 @@ class ReferenceProfiler:
             settings.phase_change_history_fadeout,
         )
         self.last_states: list[TSState] = []
+        # per-chunk phase assignment trace: (phase_pointer, n_phases) after
+        # each closed chunk — two ints per chunk, lets parity_phases expose
+        # the phase fold (phase.go:64-206) as a value-checkable relation
+        self.phase_trace: list[tuple[int, int]] = []
         self._buffers: list[_Buffer] = []
         self._buffer_index: dict[str, int] = {}
         self._item_count = 0
@@ -115,6 +119,9 @@ class ReferenceProfiler:
             self.period.count(tsstates)
         if self.settings.phase_change_likeliness != 0:
             self.phase.count(tsstates)
+            self.phase_trace.append(
+                (self.phase.phase_pointer, len(self.phase.phase_counters))
+            )
 
     def put_block(self, metric_names: list[str], values: np.ndarray) -> None:
         """Vectorized ingest of many complete turns: bit-exact equivalent of

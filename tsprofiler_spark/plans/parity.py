@@ -42,6 +42,51 @@ PARITY_SCHEMA = StructType(
 )
 
 
+def _fold_series(pdf: pd.DataFrame, settings: Settings):
+    """Replay one series through ReferenceProfiler: the shared ingest of the
+    parity queries (profiles/phases). Returns the fed profiler; ``pdf`` is
+    re-sorted in place to reference arrival order first."""
+    import numpy as np
+
+    from tsprofiler_spark.kernel.profiler import ReferenceProfiler
+
+    pdf.sort_values(["ts", "turn_idx", "metric"], kind="mergesort", inplace=True)
+    prof = ReferenceProfiler(settings)
+    # Fast path: when every turn carries the same metric set (the normal
+    # shape — one sorted metric tile per (ts, turn_idx)), the sorted
+    # frame reshapes to a dense (n_turns, n_metrics) value matrix and
+    # the kernel ingests whole chunks vectorized (put_block), skipping
+    # the per-turn pandas groupby that dominated the fold cost.
+    metric_names = sorted(pdf["metric"].unique().tolist())
+    n_m = len(metric_names)
+    vals = pdf["value"].to_numpy(dtype=np.float64)
+    # duplicate (ts, turn_idx) rows must take the exact groupby path:
+    # the fold groups them into ONE put() (one TSInput), while the
+    # dense reshape would treat each as its own turn — with n_m == 1
+    # the tile checks below can't see the difference, so gate on
+    # uniqueness explicitly
+    dense = (
+        len(pdf) % n_m == 0
+        and not pdf.duplicated(["ts", "turn_idx", "metric"]).any()
+    )
+    if dense:
+        n_turns = len(pdf) // n_m
+        mets = pdf["metric"].to_numpy().reshape(n_turns, n_m)
+        dense = bool((mets == np.array(metric_names)).all())
+        if dense and n_m > 1:
+            # each tile row must be ONE turn (constant (ts, turn_idx))
+            tk = pdf["turn_idx"].to_numpy().reshape(n_turns, n_m)
+            ts = pdf["ts"].to_numpy().reshape(n_turns, n_m)
+            dense = bool((tk == tk[:, :1]).all() and (ts == ts[:, :1]).all())
+    if dense:
+        prof.put_block(metric_names, vals.reshape(n_turns, n_m))
+    else:
+        # ragged metric sets: exact per-turn replay
+        for (_, _), turn in pdf.groupby(["ts", "turn_idx"], sort=True):
+            prof.put(list(zip(turn["metric"], turn["value"])))
+    return prof
+
+
 def parity_profiles(series: DataFrame, settings: Settings) -> DataFrame:
     """One full reference profile per (conv_id, tool, role) series.
 
@@ -51,44 +96,7 @@ def parity_profiles(series: DataFrame, settings: Settings) -> DataFrame:
     """
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        from tsprofiler_spark.kernel.profiler import ReferenceProfiler
-
-        pdf = pdf.sort_values(["ts", "turn_idx", "metric"], kind="mergesort")
-        prof = ReferenceProfiler(settings)
-        # Fast path: when every turn carries the same metric set (the normal
-        # shape — one sorted metric tile per (ts, turn_idx)), the sorted
-        # frame reshapes to a dense (n_turns, n_metrics) value matrix and
-        # the kernel ingests whole chunks vectorized (put_block), skipping
-        # the per-turn pandas groupby that dominated the fold cost.
-        metric_names = sorted(pdf["metric"].unique().tolist())
-        n_m = len(metric_names)
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        # duplicate (ts, turn_idx) rows must take the exact groupby path:
-        # the fold groups them into ONE put() (one TSInput), while the
-        # dense reshape would treat each as its own turn — with n_m == 1
-        # the tile checks below can't see the difference, so gate on
-        # uniqueness explicitly
-        dense = (
-            len(pdf) % n_m == 0
-            and not pdf.duplicated(["ts", "turn_idx", "metric"]).any()
-        )
-        if dense:
-            n_turns = len(pdf) // n_m
-            mets = pdf["metric"].to_numpy().reshape(n_turns, n_m)
-            dense = bool((mets == np.array(metric_names)).all())
-            if dense and n_m > 1:
-                # each tile row must be ONE turn (constant (ts, turn_idx))
-                tk = pdf["turn_idx"].to_numpy().reshape(n_turns, n_m)
-                ts = pdf["ts"].to_numpy().reshape(n_turns, n_m)
-                dense = bool((tk == tk[:, :1]).all() and (ts == ts[:, :1]).all())
-        if dense:
-            prof.put_block(metric_names, vals.reshape(n_turns, n_m))
-        else:
-            # ragged metric sets: exact per-turn replay
-            for (_, _), turn in pdf.groupby(["ts", "turn_idx"], sort=True):
-                prof.put(list(zip(turn["metric"], turn["value"])))
+        prof = _fold_series(pdf, settings)
         doc = prof.get_profile()
         hist = prof.get_history()
         first = pdf.iloc[0]
@@ -107,3 +115,53 @@ def parity_profiles(series: DataFrame, settings: Settings) -> DataFrame:
         )
 
     return series.groupBy(*SERIES_COLS).applyInPandas(fold, PARITY_SCHEMA)
+
+
+PHASES_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("tool", StringType()),
+        StructField("role", StringType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("phase_id", IntegerType()),
+        StructField("n_phases", IntegerType()),
+    ]
+)
+
+
+def parity_phases(series: DataFrame, settings: Settings) -> DataFrame:
+    """Per-chunk phase assignments from the reference phase fold.
+
+    One row per closed chunk: (chunk_idx, phase_id, n_phases) where
+    phase_id = the pointer the chunk was counted into (including the
+    create-new-phase off-by-one, phase.go:145-148) and n_phases = the
+    counter-list length after the chunk. This exposes the float32
+    likeliness-threshold clustering (phase.go:64-206) — the last
+    reference kernel section without a driver value check (r3 verdict
+    ask #4) — as a relation an exact DuckDB replay can hash-compare.
+
+    Same scale shape as parity_profiles: one Arrow-batched fold per
+    series, hash-distributed on the series key.
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        prof = _fold_series(pdf, settings)
+        if not prof.phase_trace:
+            # series shorter than one chunk: no phase rows (pandas cannot
+            # broadcast the scalar keys against zero-length columns)
+            return pd.DataFrame(
+                columns=[f.name for f in PHASES_SCHEMA.fields]
+            ).astype({"chunk_idx": int, "phase_id": int, "n_phases": int})
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "conv_id": first["conv_id"],
+                "tool": first["tool"],
+                "role": first["role"],
+                "chunk_idx": range(len(prof.phase_trace)),
+                "phase_id": [p for p, _ in prof.phase_trace],
+                "n_phases": [n for _, n in prof.phase_trace],
+            }
+        )
+
+    return series.groupBy(*SERIES_COLS).applyInPandas(fold, PHASES_SCHEMA)
