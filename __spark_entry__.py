@@ -41,8 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-type fix must prove out, (3) the queries without an r3 row,
 # (4) everything green in r3.
 _DRIVER_ORDER = [
-    # -- brand new: the phase-detection value check (r3 verdict ask #4) --
-    "parity_phases",
+    # -- brand new: the phase-detection value checks (r3 verdict asks #4/#8)
+    #    — assignment trace, then the final phase + phasetx matrices --
+    "parity_phases", "parity_phase_tx",
     # -- r3 hash-red (root cause: uncast HUGEINT start_offset in the
     #    oracle, judge-diagnosed; CAST landed in d2c15c2) --
     "text_pack_sequences",
@@ -58,7 +59,7 @@ _DRIVER_ORDER = [
     "tier_tx_1h", "rollup_asof", "downsample_m4", "anomaly_zscore",
     "tier_delta", "topk_series_daily", "metric_corr",
     "session_stats", "codec_roundtrip", "retention_expiry",
-    "txmatrix_diff", "txmatrix_merge",
+    "txmatrix_diff",
     # -- parity fold's root TxMatrix + period tree (hard kernel checks) --
     "parity_roottx", "parity_tree",
     # -- LLM-training-data families --
@@ -79,7 +80,12 @@ assert len(_DRIVER_ORDER) == 50, len(_DRIVER_ORDER)
 # including this set; only the driver's 50-row gate skips them):
 # * parity_profiles: the full profile JSON is now hash-checked PIECEWISE —
 #   root matrix by parity_roottx, period tree by parity_tree, phase fold by
-#   parity_phases (r4); the document assembly glue is golden-pytest-pinned.
+#   parity_phases, final phase + phasetx matrices by parity_phase_tx (r4);
+#   every document section has a driver hash, only the JSON assembly glue
+#   is golden-pytest-pinned (test_parity).
+# * txmatrix_merge: the tx_merge kernel is replayed cell-exactly inside
+#   parity_tree's fold oracle (every tree node is a sequence of rounded
+#   merges, hash-compared per cell); green r1-r3 standalone.
 # * predictor_simulate: seeded RNG; deterministic twin
 #   predictor_simulate_det is hash-checked.
 # * dedup_minhash_candidates: its exact output rows are the rows of
@@ -113,6 +119,7 @@ _DRIVER_EXCLUDED = {
     "sim_lsh_buckets",
     "transition_counts",
     "sessionize",
+    "txmatrix_merge",
 }
 
 

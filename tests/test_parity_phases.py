@@ -71,11 +71,40 @@ def _sequences():
     return seqs
 
 
-def test_oracle_tail_matches_kernel_on_adversarial_sequences():
-    from tsprofiler_spark.plans.entry_queries_pipeline import _phase_fold_tail
+def _phase_obj(seq):
+    ph = Phase(
+        history=1, states=STATES, buffer_size=4,
+        phase_likeliness=THRESH, phase_history=HIST,
+        phase_history_fadeout=False,
+    )
+    for s in seq:
+        ph.count([TSState(
+            metric="len_text", state=int(s),
+            stats=TSStats(min=0.0, max=128.0, stddev=0.0,
+                          avg=float(s), count=4, stddev_sum=0.0),
+        )])
+    return ph
 
-    seqs = _sequences()
-    con = duckdb.connect()
+
+def _matrix_cells(doc):
+    """Flatten a get_phases_tx() document to comparable cell tuples."""
+    rows = []
+    for pid, txs in enumerate(doc["phases"]):
+        for tx in txs:
+            for ident, step in tx["transitions"].items():
+                for j, p in enumerate(step["nextProbs"]):
+                    rows.append(("phase", pid, tx["metric"], ident, j,
+                                 int(p), int(step["probability"])))
+    tx = doc["tx"]
+    if tx is not None:
+        for ident, step in tx["transitions"].items():
+            for j, p in enumerate(step["nextProbs"]):
+                rows.append(("phasetx", -1, tx["metric"], ident, j,
+                             int(p), int(step["probability"])))
+    return sorted(rows)
+
+
+def _states_table(con, seqs):
     con.sql(
         "CREATE TABLE states(conv_id VARCHAR, tool VARCHAR, role VARCHAR,"
         " bucket_idx BIGINT, state BIGINT)"
@@ -85,6 +114,14 @@ def test_oracle_tail_matches_kernel_on_adversarial_sequences():
         [(str(sid), "t", "r", k, s)
          for sid, seq in seqs.items() for k, s in enumerate(seq)],
     )
+
+
+def test_oracle_tail_matches_kernel_on_adversarial_sequences():
+    from tsprofiler_spark.plans.entry_queries_pipeline import _phase_fold_tail
+
+    seqs = _sequences()
+    con = duckdb.connect()
+    _states_table(con, seqs)
     got = {}
     rows = con.sql(
         "WITH RECURSIVE " + _phase_fold_tail()
@@ -108,6 +145,33 @@ def test_oracle_tail_matches_kernel_on_adversarial_sequences():
     # above proves nothing
     assert multi >= 10, multi
     assert jump >= 5, jump
+
+
+def test_phase_tx_oracle_tail_matches_kernel():
+    """The final phase + phasetx matrices (parity_phase_tx oracle tail) vs
+    the Python kernel — including the phasetx counter's growth rescale
+    through the issue-#5 change_dimension quirk."""
+    from tsprofiler_spark.plans.entry_queries_pipeline import _phase_tx_tail
+
+    seqs = _sequences()
+    con = duckdb.connect()
+    _states_table(con, seqs)
+    got = {}
+    rows = con.sql("WITH RECURSIVE " + _phase_tx_tail()).fetchall()
+    for conv_id, _, _, kind, pid, metric, ident, nxt, pp, sp in rows:
+        got.setdefault(int(conv_id), []).append(
+            (kind, int(pid), metric, ident, int(nxt), int(pp), int(sp))
+        )
+    rescales = 0
+    for sid, seq in seqs.items():
+        ph = _phase_obj(seq)
+        want = _matrix_cells(ph.get_phases_tx())
+        assert sorted(got.get(sid, [])) == want, f"sid {sid} diverged"
+        # growth events after the first chunk trigger a phasetx rescale;
+        # np>=3 growths exercise the non-trivial round-half-up remap
+        if len(ph.phase_counters) >= 3:
+            rescales += 1
+    assert rescales >= 8, rescales  # the corpus must hit the remap path
 
 
 def test_spark_parity_phases_matches_kernel(spark):
@@ -154,3 +218,46 @@ def test_spark_parity_phases_matches_kernel(spark):
         assert sorted(got.get(key, [])) == trace, key
     # short series produce no rows, and nothing else appears
     assert set(got) == {k for k, tr in want.items() if tr}
+
+
+def test_spark_parity_phase_tx_matches_kernel(spark):
+    import datetime
+
+    from tsprofiler_spark.config import Settings
+    from tsprofiler_spark.kernel.profiler import ReferenceProfiler
+    from tsprofiler_spark.plans.parity import parity_phase_tx
+
+    settings = Settings(
+        buffer_size=4, states=STATES, history=1, fix_bound=True,
+        fixed_min=0.0, fixed_max=128.0, period_size=(4, 6),
+        phase_change_likeliness=THRESH, phase_change_history=HIST,
+    )
+    t0 = datetime.datetime(2025, 1, 1)
+    rng = np.random.default_rng(11)
+    rows, want = [], {}
+    for conv in range(6):
+        n_turns = int(rng.integers(2, 200))
+        vals = rng.integers(0, 129, n_turns)
+        key = (f"c{conv}", "tool", "user")
+        for i, v in enumerate(vals):
+            rows.append(
+                (key[0], key[1], key[2], i,
+                 t0 + datetime.timedelta(minutes=i), "len_text", float(v))
+            )
+        prof = ReferenceProfiler(settings)
+        prof.put_series(np.asarray(vals, dtype=np.float64), metric="len_text")
+        want[key] = _matrix_cells(prof.phase.get_phases_tx())
+    series = spark.createDataFrame(
+        rows,
+        "conv_id string, tool string, role string, turn_idx int,"
+        " ts timestamp, metric string, value double",
+    )
+    got = {}
+    for r in parity_phase_tx(series, settings).collect():
+        got.setdefault((r.conv_id, r.tool, r.role), []).append(
+            (r.kind, r.phase_id, r.metric, r.ident, r.next_state,
+             r.prob_pct, r.step_prob)
+        )
+    for key, cells in want.items():
+        assert sorted(got.get(key, [])) == cells, key
+    assert set(got) == {k for k, c in want.items() if c}

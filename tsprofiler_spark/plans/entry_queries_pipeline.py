@@ -1256,9 +1256,25 @@ def _q_parity_phases(spark, sf):
     return parity_phases(derive_series(t), settings)
 
 
-def _phase_fold_tail(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str:
+def _phase_fold_ctes(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str:
     """DuckDB recursive fold over the `states` CTE (single metric,
-    history=1). ``thresh`` must be a float32-exact literal (0.5 is)."""
+    history=1). ``thresh`` must be a float32-exact literal (0.5 is).
+
+    Besides the per-phase count grids (``cnts``), the fold carries the
+    phase-TRANSITION counter (phase.go:156-172): ``ptx`` is its flat
+    n_phases x n_phases BIGINT grid and ``pw`` its 1-deep state window.
+    The counter starts as Counter(1,1,1); every chunk first grows
+    ``states`` to the current phase count (counter.go:91-93) and then
+    counts — so whenever a phase is created, the incoming chunk's max
+    (= new n_phases) exceeds the stored global max (= old n_phases) and
+    change_dimension remaps the grid (counter.go:123-145) with the
+    issue-#5 quirk: old_step divides by the NEW state count. With
+    min=0 / max=n the new grid's bucket step is exactly 1.0, so
+    closest_discretize(i*old_max/new_n, new_n, 0, new_n) reduces to the
+    exact integer round-half-up ``(2*i*old_max + new_n) // (2*new_n)``
+    (float64 i*m/(m+1) can only misround across a .5 boundary if the
+    rational sits closer than ~1e-14 to it, and the nearest non-exact
+    rational is 1/(2*new_n) away)."""
     C = states * states  # count cells per phase (ident x next_state)
     S = states
     return f"""
@@ -1277,7 +1293,9 @@ fold AS (
          CAST([] AS FLOAT[]) AS lkh,
          CAST([] AS BIGINT[]) AS sth,
          CAST(NULL AS BIGINT) AS phase_id,
-         CAST(NULL AS BIGINT) AS n_phases
+         CAST(NULL AS BIGINT) AS n_phases,
+         CAST([0] AS BIGINT[]) AS ptx,
+         CAST(0 AS BIGINT) AS pw
   FROM seq WHERE k = 0
   UNION ALL
   SELECT f.conv_id, f.tool, f.role, f.k + 1,
@@ -1288,7 +1306,9 @@ fold AS (
     CASE WHEN len(f.sth) >= {hist} THEN list_append(f.sth[2:], q.s)
          ELSE list_append(f.sth, q.s) END AS sth,
     x8.ptr2 AS phase_id,
-    x9.np2 AS n_phases
+    x9.np2 AS n_phases,
+    list_transform(x11.ptxg, (c, ii) -> CASE WHEN ii = x12.pidx THEN c + 1 ELSE c END) AS ptx,
+    x8.ptr2 AS pw
   FROM fold f
   JOIN seq q ON q.conv_id = f.conv_id AND q.tool = f.tool
             AND q.role = f.role AND q.k = f.k,
@@ -1337,12 +1357,117 @@ fold AS (
       CASE WHEN x8.grew THEN list_append(f.cur, CAST(-1 AS BIGINT)) ELSE f.cur END AS cur2) x9,
   -- count into phase ptr2: ident = its last-counted state (zero-init
   -- history -> ident 0 on first count, counter.go:159-162)
-  LATERAL (SELECT x8.ptr2*{C} + (CASE WHEN x9.cur2[x8.ptr2 + 1] = -1 THEN 0 ELSE x9.cur2[x8.ptr2 + 1] END)*{S} + q.s + 1 AS upd_idx) x10
+  LATERAL (SELECT x8.ptr2*{C} + (CASE WHEN x9.cur2[x8.ptr2 + 1] = -1 THEN 0 ELSE x9.cur2[x8.ptr2 + 1] END)*{S} + q.s + 1 AS upd_idx) x10,
+  -- phase-tx counter: on growth, change_dimension remaps the old grid
+  -- (x1.np states) onto the new one (x9.np2 states) via the exact
+  -- round-half-up derived above; collisions accumulate additively
+  LATERAL (SELECT CASE WHEN x8.grew THEN
+      list_transform(generate_series(0, x9.np2*x9.np2 - 1), t ->
+        CAST(list_sum(list_transform(generate_series(0, x1.np*x1.np - 1), s ->
+          CASE WHEN ((2*(s//x1.np)*x1.np + x9.np2) // (2*x9.np2)) = t // x9.np2
+                AND ((2*(s%x1.np)*x1.np + x9.np2) // (2*x9.np2)) = t % x9.np2
+          THEN f.ptx[s + 1] ELSE CAST(0 AS BIGINT) END)) AS BIGINT))
+    ELSE f.ptx END AS ptxg) x11,
+  -- then count: ident = previous phase (window survives the rescale raw)
+  LATERAL (SELECT f.pw * x9.np2 + x8.ptr2 + 1 AS pidx) x12
 )
+""".strip()
+
+
+def _phase_fold_tail(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str:
+    """Fold CTEs + the per-chunk phase-assignment trace (parity_phases)."""
+    return (
+        _phase_fold_ctes(states, hist, thresh)
+        + """
 SELECT conv_id, tool, role, CAST(k - 1 AS INT) AS chunk_idx,
        CAST(phase_id AS INT) AS phase_id, CAST(n_phases AS INT) AS n_phases
 FROM fold WHERE k > 0
-""".strip()
+""".rstrip()
+    )
+
+
+def _go_round_pct(num: str, den: str) -> str:
+    """``int(go_round(float(num)/float(den)*100.0))`` replicated with the
+    kernel's exact IEEE op order and go_round's trunc-compare (no +0.5
+    addition, which could misround within one ulp of a k-0.5 boundary —
+    rounding.py:15-20 / utils/stats.go:38-44). Both args are >= 0 here."""
+    x = f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) * 100.0)"
+    return (
+        f"CAST(CASE WHEN {x} - trunc({x}) >= 0.5 THEN trunc({x}) + 1 "
+        f"ELSE trunc({x}) END AS INT)"
+    )
+
+
+def _phase_tx_tail(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str:
+    """Fold CTEs + the FINAL phase matrices (Phases document content,
+    phase.go:176-199): per-phase integer-percent grids and the phase-tx
+    matrix, as flat (kind, phase_id, ident, next_state, prob_pct,
+    step_prob) cells. Probabilities via _go_round_pct (bit-identical
+    float replication); step probability denominators: chunks counted
+    into the phase (stats.count/buffer_size = 4*nc/4) for phase grids,
+    total chunks (count/1) for the phase-tx grid."""
+    C = states * states
+    S = states
+    return (
+        _phase_fold_ctes(states, hist, thresh)
+        + f""",
+last AS (
+  SELECT f.conv_id, f.tool, f.role, f.k AS total_chunks,
+         f.cnts, f.ptx, f.n_phases
+  FROM fold f
+  JOIN (SELECT conv_id, tool, role, MAX(k) AS mk
+        FROM fold GROUP BY conv_id, tool, role) m
+    ON m.conv_id = f.conv_id AND m.tool = f.tool AND m.role = f.role
+   AND m.mk = f.k
+  WHERE f.k > 0
+),
+pcnt AS (
+  SELECT conv_id, tool, role, phase_id, COUNT(*) AS nc
+  FROM fold WHERE k > 0
+  GROUP BY conv_id, tool, role, phase_id
+),
+pcells AS (
+  SELECT conv_id, tool, role,
+    unnest(list_transform(generate_series(0, len(cnts) - 1), s -> {{
+      'pid': s // {C},
+      'ident': (s % {C}) // {S},
+      'nxt': s % {S},
+      'cnt': cnts[s + 1],
+      'rowsum': CAST(list_sum(cnts[((s // {S}) * {S} + 1):((s // {S}) * {S} + {S})]) AS BIGINT)
+    }})) AS c
+  FROM last
+),
+txcells AS (
+  SELECT conv_id, tool, role, total_chunks,
+    unnest(list_transform(generate_series(0, len(ptx) - 1), s -> {{
+      'ident': s // n_phases,
+      'nxt': s % n_phases,
+      'cnt': ptx[s + 1],
+      'rowsum': CAST(list_sum(ptx[((s // n_phases) * n_phases + 1):((s // n_phases) * n_phases + n_phases)]) AS BIGINT)
+    }})) AS c
+  FROM last
+)
+SELECT p.conv_id, p.tool, p.role, 'phase' AS kind,
+       CAST(p.c['pid'] AS INT) AS phase_id, 'len_text' AS metric,
+       CAST(p.c['ident'] AS VARCHAR) AS ident,
+       CAST(p.c['nxt'] AS INT) AS next_state,
+       {_go_round_pct("p.c['cnt']", "p.c['rowsum']")} AS prob_pct,
+       {_go_round_pct("p.c['rowsum']", "n.nc")} AS step_prob
+FROM pcells p
+JOIN pcnt n ON n.conv_id = p.conv_id AND n.tool = p.tool
+           AND n.role = p.role AND n.phase_id = p.c['pid']
+WHERE p.c['rowsum'] > 0
+UNION ALL
+SELECT conv_id, tool, role, 'phasetx' AS kind,
+       CAST(-1 AS INT) AS phase_id, 'phasetx' AS metric,
+       CAST(c['ident'] AS VARCHAR) AS ident,
+       CAST(c['nxt'] AS INT) AS next_state,
+       {_go_round_pct("c['cnt']", "c['rowsum']")} AS prob_pct,
+       {_go_round_pct("c['rowsum']", "total_chunks")} AS step_prob
+FROM txcells
+WHERE c['rowsum'] > 0
+""".rstrip()
+    )
 
 
 _register(
@@ -1351,6 +1476,35 @@ _register(
     f"""
 WITH RECURSIVE {_parity_cte()},
 {_phase_fold_tail()}
+""".strip(),
+)
+
+
+def _q_parity_phase_tx(spark, sf):
+    from tsprofiler_spark.config import Settings
+    from tsprofiler_spark.operators.ingest import derive_series
+    from tsprofiler_spark.plans.parity import parity_phase_tx
+    from tsprofiler_spark.sources.transcripts import transcripts_from_events
+
+    settings = Settings(
+        buffer_size=4, states=8, history=1, fix_bound=True,
+        fixed_min=0.0, fixed_max=128.0, period_size=(4, 6),
+        phase_change_likeliness=0.5, phase_change_history=4,
+    )
+    t = transcripts_from_events(spark, sf)
+    return parity_phase_tx(derive_series(t), settings)
+
+
+# The FINAL phase matrices (per-phase integer-percent grids + the growing,
+# issue-#5-rescaled phase-tx matrix) — with parity_roottx (root matrix),
+# parity_tree (period tree) and parity_phases (assignment trace) this
+# hash-checks every section of the profile document piecewise.
+_register(
+    "parity_phase_tx",
+    _q_parity_phase_tx,
+    f"""
+WITH RECURSIVE {_parity_cte()},
+{_phase_tx_tail()}
 """.strip(),
 )
 

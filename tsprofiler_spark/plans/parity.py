@@ -165,3 +165,83 @@ def parity_phases(series: DataFrame, settings: Settings) -> DataFrame:
         )
 
     return series.groupBy(*SERIES_COLS).applyInPandas(fold, PHASES_SCHEMA)
+
+
+PHASE_TX_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("tool", StringType()),
+        StructField("role", StringType()),
+        StructField("kind", StringType()),
+        StructField("phase_id", IntegerType()),
+        StructField("metric", StringType()),
+        StructField("ident", StringType()),
+        StructField("next_state", IntegerType()),
+        StructField("prob_pct", IntegerType()),
+        StructField("step_prob", IntegerType()),
+    ]
+)
+
+
+def parity_phase_tx(series: DataFrame, settings: Settings) -> DataFrame:
+    """The FINAL phase matrices from the reference phase fold.
+
+    One row per matrix cell of the Phases document (phase.go:176-199):
+    kind='phase' rows are each phase counter's integer-percent transition
+    grid (Counter.get_tx, counter.go:196-212); kind='phasetx' rows
+    (phase_id=-1, metric='phasetx') are the phase-transition counter's
+    grid — the one whose state count grows with the phase list and
+    rescales through the issue-#5 change_dimension quirk
+    (phase.go:156-172, counter.go:91-93,123-145). Together with
+    parity_roottx / parity_tree / parity_phases this value-checks every
+    section of the profile document.
+
+    Same scale shape as parity_profiles: one Arrow-batched fold per
+    series, hash-distributed on the series key.
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        prof = _fold_series(pdf, settings)
+        doc = prof.phase.get_phases_tx()
+        rows: list[tuple] = []
+        for pid, txs in enumerate(doc["phases"]):
+            for tx in txs:
+                for ident, step in tx["transitions"].items():
+                    for j, p in enumerate(step["nextProbs"]):
+                        rows.append(
+                            ("phase", pid, tx["metric"], ident, j, p,
+                             step["probability"])
+                        )
+        tx = doc["tx"]
+        if tx is not None:
+            for ident, step in tx["transitions"].items():
+                for j, p in enumerate(step["nextProbs"]):
+                    rows.append(
+                        ("phasetx", -1, tx["metric"], ident, j, p,
+                         step["probability"])
+                    )
+        if not rows:
+            # series shorter than one chunk: no matrices
+            return pd.DataFrame(
+                columns=[f.name for f in PHASE_TX_SCHEMA.fields]
+            ).astype(
+                {"phase_id": int, "next_state": int,
+                 "prob_pct": int, "step_prob": int}
+            )
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "conv_id": first["conv_id"],
+                "tool": first["tool"],
+                "role": first["role"],
+                "kind": [r[0] for r in rows],
+                "phase_id": [r[1] for r in rows],
+                "metric": [r[2] for r in rows],
+                "ident": [r[3] for r in rows],
+                "next_state": [r[4] for r in rows],
+                "prob_pct": [r[5] for r in rows],
+                "step_prob": [r[6] for r in rows],
+            }
+        )
+
+    return series.groupBy(*SERIES_COLS).applyInPandas(fold, PHASE_TX_SCHEMA)
