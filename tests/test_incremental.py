@@ -100,6 +100,7 @@ def test_crash_before_commit_then_replay(spark, transcripts, tmp_path):
 
     store = RollupStore(spark, str(tmp_path / "s"))
     wm, affected = transcripts.agg(F.max("ts"), touched_days()).collect()[0]
+    affected = [d.isoformat() for d in affected]
 
     # "crashed" attempt: stage the 1m tier under the SAME run_id the real
     # batch will use, then stop — nothing committed

@@ -65,6 +65,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's 64m default advisory size is tuned for scan-like stages; the
+        # engine's window stages (gap-fill LOCF + bucketize) SORT their
+        # partition, and a 64m compressed shuffle partition deserializes to
+        # ~350 MB of UnsafeRows — past the per-task execution-memory share
+        # at the 1-1.5 GB/core the scaling harness (and most real clusters)
+        # provision, so every window task spill-serializes its whole input
+        # (measured: 4.8 GB memory-bytes-spilled per pass at 41M rows,
+        # ~30% of the stage's task time, and the single largest N->4N
+        # efficiency sink since spill traffic rides the shared memory bus).
+        # 24m keeps the sort in memory with 2-3x headroom; at 100 TB this
+        # just means proportionally more window tasks, which is exactly the
+        # partition-count growth a fixed-size-executor fleet wants.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "24m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.files.maxPartitionBytes", "128m")

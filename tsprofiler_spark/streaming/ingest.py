@@ -82,13 +82,14 @@ def process_microbatch(
         return []
     from pyspark.sql import functions as F
 
-    from tsprofiler_spark.plans.retention import touched_days
+    from tsprofiler_spark.plans.retention import format_days, touched_days
 
     run_id = f"stream-{batch_id}"
     if store.manifest.has_run(run_id):
         return []  # at-least-once replay of a committed batch
     # one scan: watermark + touched day partitions for every tier MERGE
     wm, affected = batch.agg(F.max("ts"), touched_days()).collect()[0]
+    affected = format_days(affected)
     # never move the watermark backwards: a batch of only LATE rows (ts all
     # below the committed watermark) must re-MERGE its tiers but keep the
     # high watermark — lowering it would make a later batch-incremental run
