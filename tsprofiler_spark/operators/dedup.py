@@ -542,11 +542,20 @@ def embedding_near_dups(
 
     Expects columns (vec_id, embedding array<float|double>).
     """
-    from tsprofiler_spark.operators.similarity import cosine_expr, lsh_buckets
+    from tsprofiler_spark.operators.similarity import _dot, _norm, lsh_buckets
 
+    # The norm is computed per ROW below the join and carried as a column:
+    # Catalyst pushes the cosine threshold into the pair-join condition,
+    # and the inlined full cosine (dot + both norms, ~190 float ops + 576
+    # array derefs) exceeds janino's method-size limit — the whole pair
+    # stage silently fell back to interpreted evaluation. With the norms
+    # as child attributes the condition is one 64-term dot, which
+    # compiles. Values are bit-identical: sqrt(x) per row == sqrt(x) per
+    # pair, and the division dot/(na*nb) is the same IEEE op sequence.
     base = vectors.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
+    base = base.select("vec_id", "emb", _norm("emb", dim).alias("nrm"))
     buckets = lsh_buckets(vectors, n_planes=n_planes, dim=dim)
     b = base.join(buckets, "vec_id")
     a, c = b.alias("a"), b.alias("c")
@@ -557,7 +566,9 @@ def embedding_near_dups(
     ).select(
         F.col("a.vec_id").alias("keep_id"),
         F.col("c.vec_id").alias("dup_id"),
-        cosine_expr("a.emb", "c.emb", dim).alias("cosine"),
+        (_dot("a.emb", "c.emb", dim) / (F.col("a.nrm") * F.col("c.nrm"))).alias(
+            "cosine"
+        ),
     )
     return pairs.where(F.col("cosine") >= threshold).select(
         "keep_id", "dup_id", F.round("cosine", 6).alias("cosine")
