@@ -399,3 +399,48 @@ def test_lsh_bands_matches_inline_band_projection(spark, docs):
                 cols = [str(d[f"m{j}"]) for j in range(b * r, min(k, (b + 1) * r))]
                 inline.add((d["doc_id"], b, "-".join(cols)))
         assert long_form == inline
+
+
+def test_embedding_near_dups_matches_bucketed_bruteforce(embs):
+    """Pin embedding_near_dups against an exact numpy replay: same LSH
+    buckets, all same-bucket pairs scored by full-precision cosine. Guards
+    the carried-norm rewrite (norm-below-join) — any drift between the
+    join-time dot/(na*nb) and a straight cosine shows up here."""
+    import math
+
+    from tsprofiler_spark.operators.dedup import embedding_near_dups
+    from tsprofiler_spark.operators.similarity import lsh_buckets
+
+    # sf0.001 embeddings are near-orthogonal (max pairwise cosine ~0.479),
+    # so the threshold sits below that to keep the oracle non-vacuous.
+    threshold, n_planes = 0.40, 4
+    got = {
+        (r.keep_id, r.dup_id): r.cosine
+        for r in embedding_near_dups(
+            embs, threshold=threshold, n_planes=n_planes
+        ).collect()
+    }
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in embs.collect()}
+    bucket = {
+        r.vec_id: r.bucket
+        for r in lsh_buckets(embs, n_planes=n_planes, dim=64).collect()
+    }
+    want = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bucket[a] != bucket[b]:
+                continue
+            va, vb = vecs[a], vecs[b]
+            dot = sum(x * y for x, y in zip(va, vb))
+            cos = dot / (
+                math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(y * y for y in vb))
+            )
+            if cos >= threshold:
+                want[(a, b)] = round(cos, 6)
+
+    assert want, "threshold too high: oracle found no pairs, test is vacuous"
+    assert set(got) == set(want)
+    for pair, cos in want.items():
+        assert abs(got[pair] - cos) <= 1e-6, (pair, got[pair], cos)
