@@ -285,3 +285,86 @@ def test_spark_parity_phase_tx_matches_kernel(spark):
     for key, cells in want.items():
         assert sorted(got.get(key, [])) == cells, key
     assert set(got) == {k for k, c in want.items() if c}
+
+
+def test_phase_tx_stats_bit_exact_on_random_double_values():
+    """The per-phase stats fold on non-integral chunk values. The corpus's
+    values are integer text-lengths (mostly-exact float sums); random
+    doubles force every operation to round, pinning the CTE's scalar /
+    list_transform arithmetic against the kernel's numpy op order ulp-for-
+    ulp (the sibling roottx fold was moved OFF list_reduce for exactly this
+    — chained list_reduce drifts 1 ulp on such inputs; see
+    test_parity_stats)."""
+    from tsprofiler_spark.kernel.stats import (
+        compute_chunk_stats,
+        merge_global_stats,
+    )
+    from tsprofiler_spark.plans.entry_queries_pipeline import _phase_tx_tail
+
+    rng = np.random.default_rng(23)
+    seqs, chunk_vals = {}, {}
+    for sid in range(20):
+        n = int(rng.integers(1, 90))
+        if sid % 2:
+            seq = np.concatenate(
+                [rng.integers(0, 2, n // 2 + 1), rng.integers(6, 8, n // 2)]
+            )[:n]
+        else:
+            seq = rng.integers(0, STATES, n)
+        seqs[sid] = [int(s) for s in seq]
+        chunk_vals[sid] = [
+            [float(v) for v in rng.uniform(0.0, 128.0, 4)] for _ in seq
+        ]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE states(conv_id VARCHAR, tool VARCHAR, role VARCHAR,"
+        " metric VARCHAR, bucket_idx BIGINT, state BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO states VALUES (?,?,?,?,?,?)",
+        [(str(sid), "t", "r", "len_text", k, s)
+         for sid, seq in seqs.items() for k, s in enumerate(seq)],
+    )
+    con.sql(
+        "CREATE TABLE bucketed(conv_id VARCHAR, tool VARCHAR, role VARCHAR,"
+        " metric VARCHAR, value DOUBLE, seq BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO bucketed VALUES (?,?,?,?,?,?)",
+        [(str(sid), "t", "r", "len_text", v, 4 * k + i)
+         for sid, cvs in chunk_vals.items()
+         for k, c in enumerate(cvs) for i, v in enumerate(c)],
+    )
+
+    got = {}
+    for (conv_id, _, _, kind, pid, metric, ident, nxt, pp, sp,
+         smin, smax, savg, ssd, scnt, sss) in con.sql(
+            "WITH RECURSIVE " + _phase_tx_tail()).fetchall():
+        got.setdefault(int(conv_id), []).append(
+            (kind, int(pid), metric, ident, int(nxt), int(pp), int(sp),
+             smin, smax, savg, ssd, int(scnt), sss)
+        )
+
+    for sid, seq in seqs.items():
+        # the profiler's chunk-close path: chunk stats against the OVERALL
+        # running avg, merged into overall + the assigned phase counter
+        ph = Phase(
+            history=1, states=STATES, buffer_size=4,
+            phase_likeliness=THRESH, phase_history=HIST,
+            phase_history_fadeout=False,
+        )
+        g = TSStats(min=-1.0)
+        for s, c in zip(seq, chunk_vals[sid]):
+            raw = np.asarray(c, dtype=np.float64)
+            cs = compute_chunk_stats(
+                raw, float(raw.min()), float(raw.max()),
+                g.avg if g.count else 0.0, True, 0.0, 128.0,
+            )
+            ph.count([TSState(metric="len_text", state=int(s), stats=cs)])
+            gg = g.copy()
+            if gg.min == -1:
+                gg.min, gg.max = cs.min, cs.max
+            g = merge_global_stats(gg, cs)
+        want = _matrix_cells(ph.get_phases_tx())
+        assert sorted(got.get(sid, [])) == want, f"sid {sid} diverged"

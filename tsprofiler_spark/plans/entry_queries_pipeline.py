@@ -1097,10 +1097,18 @@ def _parity_cte() -> str:
 # (gonum weighted 2-way mean). min/max are the fix_bound constants (sentinel
 # expansion never fires past chunk 1). stddev = go_sqrt(ssum/cnt): NaN guard
 # spelled out because DuckDB sqrt(<0) errors where Go returns NaN.
-_STATS_CHUNK_AVG = "((e.vals[1] + e.vals[2] + e.vals[3] + e.vals[4]) / 4.0)"
+#
+# The fold is a RECURSIVE CTE, not list_reduce: DuckDB 1.0's chained
+# list_reduce lambda evaluation drifts 1 ulp from stepwise scalar
+# evaluation on non-integral doubles (isolated empirically: identical
+# binary inputs, fold state after k-1 steps identical, step k differs only
+# when chained — while plain scalar pipelines and list_transform lambdas
+# match numpy bit-for-bit everywhere). The recursive CTE runs the scalar
+# path, which test_parity_stats pins against the kernel on random
+# non-integral doubles.
+_STATS_CHUNK_AVG = "((q.vals[1] + q.vals[2] + q.vals[3] + q.vals[4]) / 4.0)"
 _STATS_CROSS_SUM = " + ".join(
-    f"(e.vals[{i}] - acc.avg) * (e.vals[{i}] - {_STATS_CHUNK_AVG})"
-    for i in range(1, 5)
+    f"(q.vals[{i}] - f.avg) * (q.vals[{i}] - xc.ca)" for i in range(1, 5)
 )
 _PARITY_STATS_CTES = f"""
 stats_src AS (
@@ -1110,30 +1118,44 @@ stats_src AS (
   FROM bucketed
   GROUP BY conv_id, tool, role, metric, CAST(FLOOR(seq / 4) AS BIGINT)
 ),
-stats_fold AS (
+stats_seq AS (
   SELECT conv_id, tool, role, metric,
-    list_reduce(
-      list_prepend(
-        {{'avg': CAST(0 AS DOUBLE), 'cnt': CAST(0 AS DOUBLE),
-          'ssum': CAST(0 AS DOUBLE), 'vals': CAST([] AS DOUBLE[])}},
-        list({{'avg': CAST(0 AS DOUBLE), 'cnt': CAST(0 AS DOUBLE),
-               'ssum': CAST(0 AS DOUBLE), 'vals': vals}} ORDER BY bucket_idx)),
-      (acc, e) -> {{
-        'avg': (acc.avg * acc.cnt + {_STATS_CHUNK_AVG} * 4.0) / (acc.cnt + 4.0),
-        'cnt': acc.cnt + 4.0,
-        'ssum': acc.ssum + ({_STATS_CROSS_SUM}),
-        'vals': CAST([] AS DOUBLE[])
-      }}) AS st
+         ROW_NUMBER() OVER (
+             PARTITION BY conv_id, tool, role, metric ORDER BY bucket_idx) - 1 AS k,
+         vals
   FROM stats_src WHERE n = 4
-  GROUP BY conv_id, tool, role, metric
+),
+stats_rec AS (
+  SELECT conv_id, tool, role, metric, CAST(0 AS BIGINT) AS k,
+         CAST(0 AS DOUBLE) AS avg, CAST(0 AS DOUBLE) AS cnt,
+         CAST(0 AS DOUBLE) AS ssum
+  FROM stats_seq WHERE k = 0
+  UNION ALL
+  SELECT f.conv_id, f.tool, f.role, f.metric, f.k + 1,
+         (f.avg * f.cnt + xc.ca * 4.0) / (f.cnt + 4.0) AS avg,
+         f.cnt + 4.0 AS cnt,
+         f.ssum + ({_STATS_CROSS_SUM}) AS ssum
+  FROM stats_rec f
+  JOIN stats_seq q ON q.conv_id = f.conv_id AND q.tool = f.tool
+    AND q.role = f.role AND q.metric = f.metric AND q.k = f.k,
+  LATERAL (SELECT {_STATS_CHUNK_AVG} AS ca) xc
+),
+stats_fold AS (
+  SELECT f.conv_id, f.tool, f.role, f.metric, f.avg, f.cnt, f.ssum
+  FROM stats_rec f
+  JOIN (SELECT conv_id, tool, role, metric, MAX(k) AS mk
+        FROM stats_rec GROUP BY conv_id, tool, role, metric) m
+    ON m.conv_id = f.conv_id AND m.tool = f.tool AND m.role = f.role
+   AND m.metric = f.metric AND m.mk = f.k
+  WHERE f.k > 0
 ),
 stats_cols AS (
   SELECT conv_id, tool, role, metric,
          CAST(0.0 AS DOUBLE) AS stat_min, CAST(128.0 AS DOUBLE) AS stat_max,
-         st.avg AS stat_avg,
-         CASE WHEN st.ssum / st.cnt < 0 THEN CAST('NaN' AS DOUBLE)
-              ELSE sqrt(st.ssum / st.cnt) END AS stat_stddev,
-         CAST(st.cnt AS INT) AS stat_count, st.ssum AS stat_ssum
+         avg AS stat_avg,
+         CASE WHEN ssum / cnt < 0 THEN CAST('NaN' AS DOUBLE)
+              ELSE sqrt(ssum / cnt) END AS stat_stddev,
+         CAST(cnt AS INT) AS stat_count, ssum AS stat_ssum
   FROM stats_fold
 )
 """.strip()
@@ -1142,7 +1164,7 @@ _register(
     "parity_roottx",
     _q_parity_roottx,
     f"""
-WITH {_parity_cte()},
+WITH RECURSIVE {_parity_cte()},
 {_PARITY_STATS_CTES}
 SELECT t.conv_id, t.tool, t.role, t.metric, t.ident, t.next_state,
        t.prob_pct, t.step_prob, s.stat_min, s.stat_max, s.stat_avg,
