@@ -1319,7 +1319,13 @@ WITH {_parity_cte()},
 #     state;
 #   * DuckDB FLOAT arithmetic is IEEE float32 bit-for-bit (verified against
 #     numpy.float32 on division/accumulation), so the likeliness window
-#     mean and the 0.5 threshold compare reproduce exactly; NaN paths
+#     mean and the 0.5 threshold compare reproduce exactly; the fold's
+#     list_reduce lambdas are pure additions (float32) or pure integer
+#     arithmetic, so the chained-list_reduce mul-add contraction drift that
+#     forced the roottx stats fold onto a recursive CTE (see
+#     _PARITY_STATS_CTES) cannot arise here — the mul-add stats chains in
+#     THIS fold run in scalar laterals / list_transform, both verified
+#     ulp-exact on random doubles (test_parity_phases); NaN paths
 #     (empty counter -> likeliness 1; empty candidate phases excluded) are
 #     expressed as NULL guards because DuckDB orders NaN HIGHEST while Go
 #     NaN comparisons are false;
