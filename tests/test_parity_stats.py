@@ -2,7 +2,7 @@
 as a value-checkable relation.
 
 Pins the registered `parity_roottx` oracle's stats columns — the DuckDB
-list_reduce replay of the sequential weighted 2-way mean fold — against a
+recursive-CTE replay of the sequential weighted 2-way mean fold — against a
 direct replay with the Python kernel's own stats functions
 (compute_chunk_stats + merge_global_stats) on the real sf0.001 chunks,
 repr-exact (bit-for-bit doubles). The Spark side (profile_json -> stats
@@ -22,7 +22,7 @@ from tsprofiler_spark.kernel.stats import (
     merge_global_stats,
 )
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _kernel_fold(chunks):

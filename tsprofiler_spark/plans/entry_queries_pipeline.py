@@ -952,7 +952,7 @@ _register("parity_profiles", _q_parity_profiles)
 # relationally. Since r4 the row ALSO carries the per-metric GLOBAL STATS
 # block of the document (counter.go:123-156: sentinel min/max expansion +
 # the sequential weighted 2-way mean fold + stddev over the accumulated
-# cross-term sum) — replayed bit-exactly in DuckDB as a list_reduce over
+# cross-term sum) — replayed bit-exactly in DuckDB as a recursive CTE over
 # the chronological chunk list (validated: 1492/1492 series-metrics at
 # sf0.01 and 149/149 at sf0.001 repr-identical to the kernel). With this,
 # every field of the profile document is oracle-checked: roottx
@@ -1110,14 +1110,23 @@ _STATS_CHUNK_AVG = "((q.vals[1] + q.vals[2] + q.vals[3] + q.vals[4]) / 4.0)"
 _STATS_CROSS_SUM = " + ".join(
     f"(q.vals[{i}] - f.avg) * (q.vals[{i}] - xc.ca)" for i in range(1, 5)
 )
-_PARITY_STATS_CTES = f"""
-stats_src AS (
+
+# Shared chunk-values grouping for the stats folds (roottx `stats_src`,
+# phase fold `seq_vals`) — ONE definition so the two oracles cannot drift
+# on what a chunk is. COUNT(value), not COUNT(*): the completeness gate
+# must agree with the `chunks` CTE's n, or a hypothetical NULL-valued
+# metric would close a chunk in one fold and not the other.
+_CHUNK_VALS_CTE = """
+{name} AS (
   SELECT conv_id, tool, role, metric,
          CAST(FLOOR(seq / 4) AS BIGINT) AS bucket_idx,
-         list(value ORDER BY seq) AS vals, COUNT(*) AS n
+         list(value ORDER BY seq) AS vals, COUNT(value) AS n
   FROM bucketed
   GROUP BY conv_id, tool, role, metric, CAST(FLOOR(seq / 4) AS BIGINT)
-),
+)""".strip()
+
+_PARITY_STATS_CTES = f"""
+{_CHUNK_VALS_CTE.format(name="stats_src")},
 stats_seq AS (
   SELECT conv_id, tool, role, metric,
          ROW_NUMBER() OVER (
@@ -1376,14 +1385,9 @@ def _phase_fold_ctes(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str
     rational is 1/(2*new_n) away)."""
     C = states * states  # count cells per phase (ident x next_state)
     S = states
+    chunk_vals_cte = _CHUNK_VALS_CTE.format(name="seq_vals")
     return f"""
-seq_vals AS (
-  SELECT conv_id, tool, role, metric,
-         CAST(FLOOR(seq / 4) AS BIGINT) AS bucket_idx,
-         list(value ORDER BY seq) AS vals
-  FROM bucketed
-  GROUP BY conv_id, tool, role, metric, CAST(FLOOR(seq / 4) AS BIGINT)
-),
+{chunk_vals_cte},
 seq AS (
   SELECT st.conv_id, st.tool, st.role,
          ROW_NUMBER() OVER (
