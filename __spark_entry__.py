@@ -92,14 +92,11 @@ assert len(_DRIVER_ORDER) == 50, len(_DRIVER_ORDER)
 #   predictor_simulate_det is hash-checked.
 # * dedup_minhash_candidates: its exact output rows are the rows of
 #   dedup_minhash_verified, which is hash-checked.
-# * probe_series_stats / probe_pack_tokens: single-column localization
-#   probes built while their parents were red; parents green (series_stats
-#   r3; text_pack_sequences' divergence root-caused to the oracle's
-#   HUGEINT), so the probes retire per the r3 verdict ("they exist to
-#   localize, not to live forever").
-# * sim_ivf_fixed_topk: the stopgap fixed-quantizer twin from before the
-#   kmeans path had an oracle; sim_ivf_kmeans_topk value-checks the same
-#   assign/probe/score machinery end-to-end plus training.
+# (DELETED in r4 per the r3 verdict's retirement ask — no longer
+# registered at all: probe_series_stats / probe_pack_tokens, the
+# single-column localization twins whose parents went green; and
+# sim_ivf_fixed_topk, the stopgap fixed-quantizer twin subsumed by the
+# value-checked sim_ivf_kmeans_topk.)
 # * sim_lsh_buckets: its exact bucket relation is recomputed inside
 #   sim_ann_topk (hash-checked); green r1+r2 standalone.
 # * transition_counts: transition_probs = the same counts normalized —
@@ -115,9 +112,6 @@ _DRIVER_EXCLUDED = {
     "parity_profiles",
     "predictor_simulate",
     "dedup_minhash_candidates",
-    "probe_series_stats",
-    "probe_pack_tokens",
-    "sim_ivf_fixed_topk",
     "sim_lsh_buckets",
     "transition_counts",
     "sessionize",

@@ -376,45 +376,6 @@ FROM states GROUP BY {SERIES}, metric
 )
 
 
-# --- q: probe_series_stats --------------------------------------------------------
-# Localization probe twin (r2 verdict #2): ONE all-integer row of corpus-wide
-# totals over the same `states` chunk table. If series_stats ever hash-fails
-# on the driver again while this probe is green, the divergence is in the
-# per-group rows (grouping/canonicalization), not the column values; if the
-# probe fails too, the failing total names the column family.
-
-def q_probe_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chunks = _states_df(spark, sf_dir)
-    return chunks.agg(
-        F.sum("n").alias("total_n"),
-        F.sum("s1").cast("long").alias("total_s1"),
-        F.sum(
-            F.floor(F.col("stddev_sum") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-        ).alias("total_stddev_u"),
-        F.count(F.lit(1)).alias("total_chunks"),
-        # concat_ws skips NULLs identically on Spark and DuckDB, so the
-        # distinct-group count agrees even if a series key is NULL
-        F.countDistinct(
-            F.concat_ws("|", "conv_id", "tool", "role", "metric")
-        ).alias("n_groups"),
-    )
-
-
-_register(
-    "probe_series_stats",
-    q_probe_series_stats,
-    _q(
-        f"""
-SELECT CAST(SUM(n) AS BIGINT) AS total_n,
-       CAST(SUM(s1) AS BIGINT) AS total_s1,
-       CAST(SUM({_U.format(x='stddev_sum')}) AS BIGINT) AS total_stddev_u,
-       COUNT(*) AS total_chunks,
-       COUNT(DISTINCT concat_ws('|', conv_id, tool, role, metric)) AS n_groups
-FROM states
-""".strip()
-    ),
-)
-
 # --- q: rollup tiers ---------------------------------------------------------------
 
 _TIER_SQL_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}

@@ -551,38 +551,6 @@ FROM c
 """.strip(),
 )
 
-# Localization probe twin (r2 verdict #3): per-shard all-integer totals of
-# the SAME token counts pack_sequences consumes. If pack is red while this
-# is green the divergence is in the window/packing; if this is red the
-# token count itself diverges (names the column).
-_register(
-    "probe_pack_tokens",
-    lambda spark, sf: _docs(spark, sf)
-    .groupBy((F.col("doc_id") % 8).cast("int").alias("shard"))
-    .agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN length(coalesce(text, '')) = 0 THEN 0 "
-                "ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
-            )
-        ).cast("long").alias("total_tokens"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias(
-            "total_chars"
-        ),
-    ),
-    """
-SELECT CAST(doc_id % 8 AS INT) AS shard,
-       CAST(SUM(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
-                ELSE length(text) - length(replace(text, ' ', '')) + 1 END)
-            AS BIGINT) AS total_tokens,
-       COUNT(*) AS n_docs,
-       CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS total_chars
-FROM documents
-GROUP BY CAST(doc_id % 8 AS INT)
-""".strip(),
-)
-
 _H_SH5 = h32_sql_duckdb("s")
 
 _register(
@@ -880,46 +848,6 @@ cent AS (SELECT centroid_id, [c / 1000000.0 for c in cu] AS centroid FROM c{iter
 
 
 _register("sim_ivf_kmeans_topk", _q_sim_ivf_kmeans_topk, _ivf_kmeans_oracle())
-
-
-def _q_sim_ivf_fixed_topk(spark, sf):
-    """Same IVF machinery with an explicit deterministic coarse quantizer
-    (every 61st embedding = a centroid), so assignment, probe ranking, and
-    bucket-local scoring are ALL value-checked against DuckDB — only the
-    KMeans training step (sim_ivf_topk) stays outside SQL."""
-    from pyspark.sql import Window
-
-    from tsprofiler_spark.operators.similarity import ivf_topk
-
-    embs = _embs(spark, sf)
-    cent = (
-        embs.where(F.col("vec_id") % 61 == 3)
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
-        )
-        .withColumn(
-            "centroid_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
-        )
-        .select("centroid_id", "centroid")
-    )
-    return ivf_topk(embs, k=10, query_mod=100, n_probe=3, centroids=cent)
-
-
-_register(
-    "sim_ivf_fixed_topk",
-    _q_sim_ivf_fixed_topk,
-    f"""
-WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cent AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
-         emb AS centroid
-  FROM base WHERE vec_id % 61 = 3
-),
-{_ivf_probe_score_tail(dim=64, n_probe=3, k=10, query_mod=100)}
-""".strip(),
-)
 
 
 # --- parity + predictor (sequential reference kernels; non-SQL-expressible,
