@@ -99,8 +99,10 @@ assert len(_DRIVER_ORDER) == 50, len(_DRIVER_ORDER)
 # value-checked sim_ivf_kmeans_topk.)
 # * sim_lsh_buckets: its exact bucket relation is recomputed inside
 #   sim_ann_topk (hash-checked); green r1+r2 standalone.
-# * transition_counts: transition_probs = the same counts normalized —
-#   the probs hash covers every count cell on the same grid; green r1-r3.
+# * transition_counts: transition_probs carries the RAW cnt column in its
+#   output (not just the normalized percents, which would be invariant
+#   under uniform count scaling) — its hash covers every count cell on
+#   the same grid directly; green r1-r3.
 # * sessionize: session_stats aggregates sessionize's own output per
 #   session — any boundary drift changes its rows/hash; green r1-r3.
 #

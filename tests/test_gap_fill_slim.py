@@ -95,15 +95,17 @@ def test_slim_on_synth_corpus(spark):
     assert diff == 0
 
 
-def test_slim_empty_metrics_tuple_is_single_metric(spark):
-    """metrics=() (falsy but not None) must take the single-metric default,
-    not generate `stack(0, )` — ADVICE r3; derive_multi_series itself
-    refuses an empty tuple outright."""
+def test_slim_empty_metrics_tuple_raises_like_derive_multi(spark):
+    """metrics=() (falsy but not None) must raise exactly like
+    derive_multi_series — never generate `stack(0, )` (ADVICE r3) and
+    never silently fall back to the single-metric default, which would
+    make build_profile_pipeline(metrics=()) crash or silently profile
+    len_text depending on do_gap_fill. None stays the default path."""
     import pytest
 
     t = _tricky(spark)
-    assert _rows(gap_fill_slim(t, (), step_seconds=60)) == _rows(
-        gap_fill_slim(t, None, step_seconds=60)
-    )
+    with pytest.raises(ValueError, match="at least one metric"):
+        gap_fill_slim(t, (), step_seconds=60)
     with pytest.raises(ValueError, match="at least one metric"):
         derive_multi_series(t, ())
+    assert _rows(gap_fill_slim(t, None, step_seconds=60))

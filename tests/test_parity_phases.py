@@ -368,3 +368,40 @@ def test_phase_tx_stats_bit_exact_on_random_double_values():
             g = merge_global_stats(gg, cs)
         want = _matrix_cells(ph.get_phases_tx())
         assert sorted(got.get(sid, [])) == want, f"sid {sid} diverged"
+
+
+def test_go_round_pct_matches_kernel():
+    """_go_round_pct is THE generator for every oracle integer percent:
+    pin its SQL against the kernel's int(go_round(cnt/total*100.0)) over
+    an exhaustive (cnt, rowsum) sweep. The sweep covers the pairs where a
+    hand-written FLOOR(100.0*cnt/rowsum + 0.5) diverges — wrong op order
+    ((100*cnt)/rowsum can land exactly on k.5 where (cnt/rowsum)*100
+    lands one ulp below) and wrong half-boundary compare — e.g. 23/40:
+    kernel 57, floor-form 58."""
+    from tsprofiler_spark.kernel.rounding import go_round
+    from tsprofiler_spark.plans.entry_queries_pipeline import _go_round_pct
+
+    con = duckdb.connect()
+    expr = _go_round_pct("p.cnt", "p.rowsum")
+    rows = con.sql(
+        f"""
+        WITH p AS (
+          SELECT r.r AS rowsum, c.c AS cnt
+          FROM (SELECT unnest(generate_series(1, 400)) AS r) r,
+               (SELECT unnest(generate_series(0, 400)) AS c) c
+          WHERE c.c <= r.r
+        )
+        SELECT p.cnt, p.rowsum, {expr} AS pct,
+               CAST(FLOOR(100.0 * p.cnt / p.rowsum + 0.5) AS INT) AS floor_pct
+        FROM p
+        """
+    ).fetchall()
+    assert len(rows) > 80_000
+    floor_divergences = 0
+    for cnt, rowsum, pct, floor_pct in rows:
+        want = int(go_round(float(cnt) / float(rowsum) * 100.0))
+        assert pct == want, (cnt, rowsum, pct, want)
+        if floor_pct != want:
+            floor_divergences += 1
+    # the hazard is real on small, reachable pairs (23/40, 29/200, ...)
+    assert floor_divergences > 0

@@ -371,6 +371,12 @@ def main() -> None:
 
 
 def _interleaved_main(args, zpath: str) -> None:
+    """R rounds of (probe, N leg, probe, 4N leg), ending with a probe —
+    chronological sequence P0 N1 P1 F1 P2 N2 P3 F2 P4 ... Every adjacent
+    (N, 4N) or (4N, N) leg pair is a candidate ratio; a pair COUNTS when
+    its three bracketing probes agree within --coherence (the host gave
+    both legs the same effective CPU). The report carries every pair and
+    selects the best coherent one."""
     # with --passes < 3 there is at most one warm pass per leg, so
     # warm_pass_spread is None and EVERY pair would be classed unstable —
     # the headline would silently null for lack of data, not host noise.
@@ -384,12 +390,6 @@ def _interleaved_main(args, zpath: str) -> None:
         )
     if args.leg_stability is None:
         args.leg_stability = args.coherence
-    """R rounds of (probe, N leg, probe, 4N leg), ending with a probe —
-    chronological sequence P0 N1 P1 F1 P2 N2 P3 F2 P4 ... Every adjacent
-    (N, 4N) or (4N, N) leg pair is a candidate ratio; a pair COUNTS when
-    its three bracketing probes agree within --coherence (the host gave
-    both legs the same effective CPU). The report carries every pair and
-    selects the best coherent one."""
     base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
     work = tempfile.mkdtemp(prefix="scaling-", dir=base)
     inp = os.path.join(work, "transcripts.parquet")

@@ -13,8 +13,35 @@ from pyspark.sql import functions as F
 
 def go_round_nonneg(c: Column) -> Column:
     """Half-away-from-zero round for non-negative values
-    (reference: utils/stats.go:38-44). floor(x + 0.5) == go_round(x) for x >= 0."""
-    return F.floor(c + F.lit(0.5))
+    (reference: utils/stats.go:38-44), as the reference's exact
+    trunc-compare — NOT ``floor(x + 0.5)``: for x < 1 the addition can
+    round up across the boundary where the compare would not (classic
+    ``floor(0.49999999999999994 + 0.5) == 1``), and matching the kernel
+    bit-for-bit is the whole point of this helper. For x >= 0,
+    trunc == floor, so the compare is ``x - floor(x) >= 0.5``."""
+    f = F.floor(c)
+    return F.when(c - f >= F.lit(0.5), f + F.lit(1)).otherwise(f)
+
+
+def go_round_sql(x: str) -> str:
+    """DuckDB/ANSI SQL for ``int(go_round(x))`` of a nonnegative
+    expression — the same trunc-compare as :func:`go_round_nonneg`, so a
+    DuckDB oracle rounds bit-identically to the Spark operator AND to the
+    reference kernel (utils/stats.go:38-44). ``x`` is evaluated several
+    times; pass a self-contained expression."""
+    return (
+        f"CAST(CASE WHEN ({x}) - trunc({x}) >= 0.5 THEN trunc({x}) + 1 "
+        f"ELSE trunc({x}) END AS INT)"
+    )
+
+
+def go_round_pct_sql(num: str, den: str) -> str:
+    """``int(go_round(float(num)/float(den)*100.0))`` in SQL with the
+    reference's exact IEEE op order (txprobabilities.go:18:
+    ``(v/sum)*100``, never ``(100*v)/sum`` — they differ in the final ulp
+    on pairs like 23/40, flipping the rounded percent). Both args must be
+    nonnegative."""
+    return go_round_sql(f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) * 100.0")
 
 
 def closest_state(value: Column, states: int, vmin: float, vmax: float) -> Column:

@@ -286,9 +286,13 @@ def gap_fill_slim(
     ts, metric, value) with value NULL on gap rows (callers LOCF via
     ``gap_fill_series``, exactly as on the unfused path).
     """
-    # empty tuple would generate `stack(0, )` — invalid SQL; treat it like
-    # None (single-metric default), same falsy contract as derive_multi_series
-    single = not metrics
+    # None -> single-metric default (the unfused derive_series path); an
+    # explicit empty tuple is an error, the SAME contract as
+    # derive_multi_series — otherwise build_profile_pipeline(metrics=())
+    # would raise or silently profile len_text depending on do_gap_fill
+    if metrics is not None and not metrics:
+        raise ValueError("gap_fill_slim requires at least one metric")
+    single = metrics is None
     mets = ("len_text",) if single else metrics
     vcols = tuple(f"_v{i}" for i in range(len(mets)))
     slim = transcripts.select(

@@ -213,8 +213,13 @@ def transition_probs(counts: DataFrame, settings: Settings) -> DataFrame:
         "ident",
         "next_state",
         "cnt",
-        go_round_nonneg(F.lit(100.0) * F.col("cnt") / row_sum).cast("int").alias("prob_pct"),
-        go_round_nonneg(F.lit(100.0) * row_sum / n_chunks).cast("int").alias("step_prob"),
+        # op order is load-bearing: the reference computes
+        # float64(v)/float64(sum) * 100 (txprobabilities.go:18), and
+        # (cnt/row_sum)*100.0 differs from (100.0*cnt)/row_sum in the
+        # final ulp on pairs like 23/40 (57.4999... vs 57.5), flipping
+        # the rounded percent
+        go_round_nonneg(F.col("cnt") / row_sum * F.lit(100.0)).cast("int").alias("prob_pct"),
+        go_round_nonneg(row_sum / n_chunks * F.lit(100.0)).cast("int").alias("step_prob"),
     )
 
 
@@ -238,7 +243,8 @@ def txmatrix_corpus_probs(
         "ident",
         "next_state",
         "cnt",
-        go_round_nonneg(F.lit(100.0) * F.col("cnt") / F.sum("cnt").over(w_row))
+        # reference op order: (cnt/row_sum)*100 — see transition_probs
+        go_round_nonneg(F.col("cnt") / F.sum("cnt").over(w_row) * F.lit(100.0))
         .cast("int")
         .alias("prob_pct"),
     )

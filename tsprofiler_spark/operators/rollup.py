@@ -300,10 +300,13 @@ def tier_transitions(tier_df: DataFrame, settings: Settings) -> DataFrame:
         "ident",
         "next_state",
         "cnt",
-        go_round_nonneg(F.lit(100.0) * F.col("cnt") / row_sum)
+        # reference op order: (cnt/row_sum)*100, not (100*cnt)/row_sum —
+        # they differ in the final ulp on pairs like 23/40, flipping the
+        # rounded percent (see operators/profile.py transition_probs)
+        go_round_nonneg(F.col("cnt") / row_sum * F.lit(100.0))
         .cast("int")
         .alias("prob_pct"),
-        go_round_nonneg(F.lit(100.0) * row_sum / total).cast("int").alias("step_prob"),
+        go_round_nonneg(row_sum / total * F.lit(100.0)).cast("int").alias("step_prob"),
     )
 
 

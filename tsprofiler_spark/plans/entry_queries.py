@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsprofiler_spark.config import Settings
-from tsprofiler_spark.functions import closest_state_sql, simple_state, simple_state_sql
+from tsprofiler_spark.functions import (
+    closest_state_sql,
+    go_round_pct_sql,
+    go_round_sql,
+    simple_state,
+    simple_state_sql,
+)
 from tsprofiler_spark.operators.ingest import derive_series, gap_fill, gap_fill_series
 from tsprofiler_spark.operators.profile import (
     bucketize,
@@ -313,9 +319,9 @@ _register(
     _q(
         f"""
 SELECT {SERIES}, metric, ident, next_state, cnt,
-  CAST(FLOOR(100.0 * cnt / (SUM(cnt) OVER w_row) + 0.5) AS INT) AS prob_pct,
-  CAST(FLOOR(100.0 * (SUM(cnt) OVER w_row)
-       / ((SUM(cnt) OVER w_all) / {SETTINGS.history}) + 0.5) AS INT) AS step_prob
+  {go_round_pct_sql("cnt", "(SUM(cnt) OVER w_row)")} AS prob_pct,
+  {go_round_pct_sql("(SUM(cnt) OVER w_row)",
+                    f"((SUM(cnt) OVER w_all) / {SETTINGS.history})")} AS step_prob
 FROM tx_counts
 WINDOW
   w_row AS (PARTITION BY {SERIES}, metric, ident),
@@ -463,8 +469,8 @@ cnts AS (
   FROM lagged GROUP BY {SERIES}, metric, ident, next_state
 )
 SELECT {SERIES}, metric, ident, next_state, cnt,
-  CAST(FLOOR(100.0 * cnt / (SUM(cnt) OVER w_row) + 0.5) AS INT) AS prob_pct,
-  CAST(FLOOR(100.0 * (SUM(cnt) OVER w_row) / (SUM(cnt) OVER w_all) + 0.5) AS INT) AS step_prob
+  {go_round_pct_sql("cnt", "(SUM(cnt) OVER w_row)")} AS prob_pct,
+  {go_round_pct_sql("(SUM(cnt) OVER w_row)", "(SUM(cnt) OVER w_all)")} AS step_prob
 FROM cnts
 WINDOW
   w_row AS (PARTITION BY {SERIES}, metric, ident),
@@ -905,8 +911,8 @@ _TX_HALF_CTES = f"""
 ),
 half_probs AS (
   SELECT half, tool, role, metric, ident, next_state,
-         CAST(FLOOR(100.0 * cnt / SUM(cnt) OVER (
-             PARTITION BY half, tool, role, metric, ident) + 0.5) AS INT) AS prob_pct
+         {go_round_pct_sql("cnt", '''(SUM(cnt) OVER (
+             PARTITION BY half, tool, role, metric, ident))''')} AS prob_pct
   FROM half_counts
 ),
 a_idents AS (SELECT DISTINCT tool, role, metric, ident FROM half_probs WHERE half = 0),
@@ -954,10 +960,10 @@ _register(
     q_txmatrix_diff,
     _q(
         _TX_HALF_CTES
-        + """
+        + f"""
 SELECT tool, role, metric,
-  CAST(FLOOR(1000.0 * (1.0 - SUM(CASE WHEN matched THEN ABS(p - q) ELSE p END)
-       / SUM(p + CASE WHEN matched THEN q ELSE 0 END)) + 0.5) AS INT) AS diff_milli
+  {go_round_sql('''1000.0 * (1.0 - SUM(CASE WHEN matched THEN ABS(p - q) ELSE p END)
+       / SUM(p + CASE WHEN matched THEN q ELSE 0 END))''')} AS diff_milli
 FROM cells GROUP BY tool, role, metric
 """.rstrip()
     ),
@@ -976,9 +982,9 @@ _register(
     q_txmatrix_merge,
     _q(
         _TX_HALF_CTES
-        + """
+        + f"""
 SELECT tool, role, metric, ident, next_state,
-  CASE WHEN matched THEN CAST(FLOOR((p + q) / 2.0 + 0.5) AS INT) ELSE p END AS merged_pct
+  CASE WHEN matched THEN {go_round_sql("(p + q) / 2.0")} ELSE p END AS merged_pct
 FROM cells
 """.rstrip()
     ),

@@ -942,6 +942,23 @@ def _q_parity_roottx(spark, sf):
     )
 
 
+def _go_round_pct(num: str, den: str) -> str:
+    """``int(go_round(float(num)/float(den)*100.0))`` replicated with the
+    kernel's exact IEEE op order and go_round's trunc-compare (no +0.5
+    addition, which could misround within one ulp of a k-0.5 boundary —
+    rounding.py:15-20 / utils/stats.go:38-44). Both args are >= 0 here.
+
+    The op order matters beyond the trunc-compare: ``(cnt/total)*100.0``
+    and ``(100.0*cnt)/total`` differ in the final ulp on pairs like
+    23/40 (57.4999999999999929 vs 57.5 exactly), flipping the rounded
+    percent — every oracle percent MUST go through this helper, never a
+    hand-written ``FLOOR(100.0*x/y + 0.5)`` (pinned by
+    test_parity_phases::test_go_round_pct_matches_kernel)."""
+    from tsprofiler_spark.functions import go_round_pct_sql
+
+    return go_round_pct_sql(num, den)
+
+
 # parity config: buffer_size=4, states=8, history=1, fixed bounds (0, 128)
 _PARITY_CTE = """
 transcripts AS (
@@ -991,8 +1008,8 @@ tot AS (
 txm AS (
   SELECT g.conv_id, g.tool, g.role, g.metric, g.ident,
     CAST(g.next_state AS INT) AS next_state,
-    CAST(FLOOR(100.0 * COALESCE(c.cnt, 0) / r.row_sum + 0.5) AS INT) AS prob_pct,
-    CAST(FLOOR(100.0 * r.row_sum / t.n_chunks + 0.5) AS INT) AS step_prob
+    {prob_pct_expr} AS prob_pct,
+    {step_prob_expr} AS step_prob
   FROM (
     SELECT conv_id, tool, role, metric, ident, s.s AS next_state
     FROM row_tot CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) s
@@ -1014,6 +1031,11 @@ def _parity_cte() -> str:
     return _PARITY_CTE.format(
         ingest=TRANSCRIPTS_FROM_EVENTS_SQL,
         state_sql=closest_state_sql("chunk_avg", 8, 0.0, 128.0),
+        # kernel op order + trunc-compare (txmatrix.py compute_probabilities:
+        # go_round((cnt/total)*100.0)); a hand-written FLOOR(100.0*c/r + 0.5)
+        # diverges on pairs like 23/40 — see _go_round_pct's docstring
+        prob_pct_expr=_go_round_pct("COALESCE(c.cnt, 0)", "r.row_sum"),
+        step_prob_expr=_go_round_pct("r.row_sum", "t.n_chunks"),
     )
 
 
@@ -1314,6 +1336,19 @@ def _phase_fold_ctes(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str
     C = states * states  # count cells per phase (ident x next_state)
     S = states
     chunk_vals_cte = _CHUNK_VALS_CTE.format(name="seq_vals")
+    # better-phase scan cell percent, kernel-exact via _go_round_pct
+    # (get_tx -> compute_probabilities: go_round((cnt/total)*100.0); the
+    # previous hand-written FLOOR(100.0*cnt/rsum + 0.5) diverges on pairs
+    # like 23/40 — wrong op order AND wrong half-boundary compare)
+    scan_num = (
+        f"f.cnts[i*{C} + x5.h[j]*{S} + "
+        "(CASE WHEN j < x6.len_h THEN x5.h[j+1] ELSE q.s END) + 1]"
+    )
+    scan_den = (
+        f"CAST(list_sum(f.cnts[(i*{C} + x5.h[j]*{S} + 1):"
+        f"(i*{C} + x5.h[j]*{S} + {S})]) AS BIGINT)"
+    )
+    scan_pct = _go_round_pct(scan_num, scan_den)
     return f"""
 {chunk_vals_cte},
 seq AS (
@@ -1389,10 +1424,9 @@ fold AS (
             CASE WHEN i = f.ptr OR f.cur[i + 1] = -1 THEN NULL ELSE
               list_reduce(
                 list_transform(generate_series(1, x6.len_h), j ->
-                  CASE WHEN CAST(list_sum(f.cnts[(i*{C} + x5.h[j]*{S} + 1):(i*{C} + x5.h[j]*{S} + {S})]) AS BIGINT) = 0
+                  CASE WHEN {scan_den} = 0
                        THEN CAST(0 AS FLOAT)
-                       ELSE CAST(CAST(FLOOR(100.0 * f.cnts[i*{C} + x5.h[j]*{S} + (CASE WHEN j < x6.len_h THEN x5.h[j+1] ELSE q.s END) + 1]
-                                 / CAST(list_sum(f.cnts[(i*{C} + x5.h[j]*{S} + 1):(i*{C} + x5.h[j]*{S} + {S})]) AS BIGINT) + 0.5) AS BIGINT) AS FLOAT)
+                       ELSE CAST({scan_pct} AS FLOAT)
                             / CAST(100 AS FLOAT) END),
                 (a, b) -> a + b) / CAST(x6.len_h AS FLOAT)
             END}}),
@@ -1451,18 +1485,6 @@ SELECT conv_id, tool, role, CAST(k - 1 AS INT) AS chunk_idx,
        CAST(phase_id AS INT) AS phase_id, CAST(n_phases AS INT) AS n_phases
 FROM fold WHERE k > 0
 """.rstrip()
-    )
-
-
-def _go_round_pct(num: str, den: str) -> str:
-    """``int(go_round(float(num)/float(den)*100.0))`` replicated with the
-    kernel's exact IEEE op order and go_round's trunc-compare (no +0.5
-    addition, which could misround within one ulp of a k-0.5 boundary —
-    rounding.py:15-20 / utils/stats.go:38-44). Both args are >= 0 here."""
-    x = f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) * 100.0)"
-    return (
-        f"CAST(CASE WHEN {x} - trunc({x}) >= 0.5 THEN trunc({x}) + 1 "
-        f"ELSE trunc({x}) END AS INT)"
     )
 
 
