@@ -167,3 +167,52 @@ def test_read_tier_day_range_prunes_paths(spark, transcripts, tmp_path):
     full = store.read_tier("1m")
     assert one.count() < full.count()
     assert store.read_tier("1m", start_day="2999-01-01") is None
+
+
+def test_late_row_after_1m_expiry_preserves_coarse_tiers(spark, transcripts, tmp_path):
+    """A late row for a day already TTL-expired out of the 1m tier (tier
+    TTLs differ: 1m expires first, 1h/1d retain the day) must fold
+    ADDITIVELY into the surviving 1h/1d day rollups. Before the
+    merge_days fix, the replace=True cascade rebuilt those days from the
+    staged 1m content — which for an expired day is the late rows ALONE —
+    silently destroying months of committed coarse-tier history."""
+    from tsprofiler_spark.plans.retention import merge_transcript_batch
+
+    store = RollupStore(spark, str(tmp_path / "s"))
+    incremental_run(
+        transcripts,
+        store,
+        SETTINGS,
+        tiers_cfg={"1m": {"ttl_days": 1}, "1h": {"ttl_days": 365}, "1d": {"ttl_days": 365}},
+        expire=True,
+    )
+    expired_days = sorted(
+        set(store.manifest.tiers["1h"]) - set(store.manifest.tiers["1m"])
+    )
+    assert expired_days, "fixture must expire at least one 1m day"
+    day = expired_days[0]
+
+    def day_totals(tier, d):
+        df = store.read_tier(tier).where(F.col("day") == d)
+        r = df.agg(F.sum("n"), F.sum("s1")).collect()[0]
+        return (r[0] or 0, r[1] or 0.0)
+
+    before_1h = day_totals("1h", day)
+    before_1d = day_totals("1d", day)
+    assert before_1h[0] > 0
+
+    late = transcripts.where(F.to_date("ts") == day).limit(7)
+    late_n = late.count()
+    assert late_n > 0
+    wm = store.manifest.watermark
+    res = merge_transcript_batch(late, store, "late-resurrect-1", wm)
+    assert res  # the late batch DID merge
+
+    after_1h = day_totals("1h", day)
+    after_1d = day_totals("1d", day)
+    # additive: original history + the late rows, never the late rows alone
+    assert after_1h[0] == before_1h[0] + late_n, (before_1h, after_1h, late_n)
+    assert after_1d[0] == before_1d[0] + late_n
+    # other retained days untouched
+    other = [d for d in store.manifest.tiers["1h"] if d != day][0]
+    assert day_totals("1h", other)[0] > 0

@@ -64,3 +64,30 @@ def test_new_period_tree_shape():
     assert tree.root.max_counts == 8
     assert tree.root.children[0].max_counts == 4
     assert tree.root.children[0].children == []
+
+
+def test_parsed_tree_reserializes():
+    """from_json_dict leaves txmatrix stats as plain dicts (the Predictor
+    reads them as dicts); to_json_dict must serialize BOTH profiler-built
+    trees (TSStats objects) and parsed trees — parse -> re-serialize is a
+    fixed point."""
+    from tsprofiler_spark.kernel.tree import PeriodTree
+
+    doc = {
+        "root": {
+            "UUID": 1,
+            "maxChilds": 0,
+            "maxCounts": 4,
+            "children": [],
+            "txmatrix": [
+                {
+                    "metric": "len_text",
+                    "transitions": {"0": {"nextProbs": [100, 0], "probability": 50}},
+                    "stats": {"min": 0.0, "max": 9.0, "stddev": 1.0,
+                              "avg": 4.0, "count": 4, "stddevsum": 3.0},
+                }
+            ],
+        }
+    }
+    parsed = PeriodTree.from_json_dict(doc)
+    assert parsed.to_json_dict() == doc

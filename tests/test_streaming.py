@@ -271,3 +271,30 @@ def test_late_only_batch_never_lowers_watermark(spark, transcripts, tmp_path):
     assert res != []  # late data DID merge
     assert store.manifest.watermark == wm_high  # watermark never moved back
     assert cutoff <= wm_high
+
+
+def test_distinct_streams_over_one_store_do_not_collide(spark, transcripts, tmp_path):
+    """batch_id is only unique per checkpoint: two queries sharing one
+    store (or a new query after a checkpoint reset) both deliver a
+    batch_id 0. The run-dedup key must include the stream identity
+    (Delta-style txnAppId) — with a bare ``stream-0`` key the second
+    query's first batch is silently skipped as a "replay" while its
+    source offsets still commit: permanent data loss."""
+    from pyspark.sql import functions as F
+
+    store = RollupStore(spark, str(tmp_path / "s"))
+    cutoff = transcripts.agg(
+        F.expr("percentile(cast(ts as double), 0.5)")
+    ).collect()[0][0]
+    first = transcripts.where(F.col("ts").cast("double") <= cutoff)
+    second = transcripts.where(F.col("ts").cast("double") > cutoff)
+
+    assert process_microbatch(first, 0, store, stream_id="q1") != []
+    n_after_q1 = store.read_tier("1m").agg(F.sum("n")).collect()[0][0]
+    # same batch_id, DIFFERENT stream: must merge, not be skipped
+    assert process_microbatch(second, 0, store, stream_id="q2") != []
+    n_after_q2 = store.read_tier("1m").agg(F.sum("n")).collect()[0][0]
+    assert n_after_q2 > n_after_q1
+    # true replay (same stream, same batch) still a no-op
+    assert process_microbatch(first, 0, store, stream_id="q1") == []
+    assert store.read_tier("1m").agg(F.sum("n")).collect()[0][0] == n_after_q2

@@ -1,7 +1,8 @@
 """Delta-of-delta timestamp compression (Gorilla §4.1.1, VLDB 2015).
 
-Header: 32-bit count + 64-bit first timestamp + 32-bit first delta
-(signed). Each further timestamp stores dod = (t_i - t_{i-1}) -
+Header: 32-bit count + 64-bit first timestamp + 64-bit first delta
+(signed; widened from the paper's 14 bits for microsecond epochs, like
+the escape range below). Each further timestamp stores dod = (t_i - t_{i-1}) -
 (t_{i-1} - t_{i-2}) with the paper's variable ranges:
 
     '0'                 dod == 0

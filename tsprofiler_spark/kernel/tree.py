@@ -41,7 +41,15 @@ class PeriodTreeNode:
                 {
                     "metric": t["metric"],
                     "transitions": t["transitions"],
-                    "stats": t["stats"].to_json_dict(),
+                    # profiler-built trees carry TSStats objects;
+                    # from_json_dict-parsed trees carry plain dicts (the
+                    # Predictor reads them as dicts) — serialize both, so
+                    # parse -> re-serialize round-trips
+                    "stats": (
+                        t["stats"].to_json_dict()
+                        if hasattr(t["stats"], "to_json_dict")
+                        else t["stats"]
+                    ),
                 }
                 for t in self.txmatrix
             ],

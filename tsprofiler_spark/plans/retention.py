@@ -138,9 +138,33 @@ def merge_transcript_batch(
     # replace=True: staged_1m already holds each affected day's COMPLETE
     # merged 1m content, so the cascaded 1h/1d partials are full day
     # replacements — no union with the existing 1h/1d needed (and unioning
-    # would double-count exactly the previously merged data)
+    # would double-count exactly the previously merged data).
+    #
+    # EXCEPT for days with no committed 1m version (``resurrected``): a
+    # late row for a day already TTL-expired out of 1m (tier TTLs differ —
+    # 1m 30d vs 1h 180d / 1d 10y) stages a 1m day holding ONLY the late
+    # rows, and a full replace would destroy the surviving 1h/1d history
+    # for that day. Those days keep merge semantics: the cascaded
+    # late-row partials fold ADDITIVELY into the existing 1h/1d day (no
+    # double-count — the expired 1m content is, by definition, not in the
+    # staged 1m the cascade was computed from). The set is read from the
+    # manifest BEFORE commit_run, so a crash-replay of this run_id stages
+    # the identical plan. Pinned by test_late_row_after_1m_expiry.
+    committed_1m = store.manifest.tiers.get("1m") or {}
+    committed_coarse = set(store.manifest.tiers.get("1h") or {}) | set(
+        store.manifest.tiers.get("1d") or {}
+    )
+    # "no 1m version AND a coarser tier still holds the day" — brand-new
+    # days (in no tier yet) stay on the replace fast path
+    resurrected = [
+        d for d in affected if d not in committed_1m and d in committed_coarse
+    ]
     tier_lineage, tier_ptrs = store.merge_tiers(
-        {"1h": coarse_1h, "1d": coarse_1d}, run_id, affected=affected, replace=True
+        {"1h": coarse_1h, "1d": coarse_1d},
+        run_id,
+        affected=affected,
+        replace=True,
+        merge_days=resurrected,
     )
     lineage += tier_lineage
     pointers.update(tier_ptrs)

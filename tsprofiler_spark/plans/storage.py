@@ -40,10 +40,6 @@ TIER_KEY = SERIES_COLS + ["metric", "bucket_start"]
 PARTIALS = ["n", "s1", "s2", "vmin", "vmax"]
 
 
-def use_iceberg(spark: SparkSession) -> bool:
-    return bool(spark.conf.get("spark.sql.catalog.local", None))
-
-
 LINEAGE_KEEP = 256  # full per-day lineage kept for the most recent N runs
 
 
@@ -184,6 +180,7 @@ class RollupStore:
         tier: str,
         affected: list[str],
         replace: bool = False,
+        merge_days: list[str] | None = None,
     ) -> DataFrame:
         """MERGE plan for one tier against its committed snapshot.
 
@@ -196,19 +193,27 @@ class RollupStore:
         affected day (e.g. cascaded from a tier whose affected-day versions
         were just merged) — skip the existing-union entirely; the staged
         day version simply supersedes the old one.
+
+        ``merge_days``: exception list for ``replace=True`` — days whose
+        partials are NOT complete (the finer tier had no committed version
+        to fold the day's history from, e.g. a late row for a day already
+        TTL-expired out of 1m while 1h/1d still retain it). Those days keep
+        the existing-union semantics so the longer-TTL rollup is preserved
+        instead of silently replaced by the late rows alone.
         """
         new_partials = new_partials.withColumn(
             "day", F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
         )
-        existing = None if replace else self.read_tier(tier)
+        union_days = list(merge_days or []) if replace else list(affected)
+        existing = None if not union_days else self.read_tier(tier)
         combined = new_partials.select(*TIER_KEY, *PARTIALS, "day")
         if existing is None:
-            # bootstrap load: partials come out of a groupBy on exactly
-            # (TIER_KEY, bucket day) — already one row per key, so the merge
-            # re-aggregation would be an identity shuffle of the full tier;
-            # skip it.
+            # bootstrap load (or pure replace): partials come out of a
+            # groupBy on exactly (TIER_KEY, bucket day) — already one row
+            # per key, so the merge re-aggregation would be an identity
+            # shuffle of the full tier; skip it.
             return combined
-        old = existing.where(F.col("day").isin(affected)).select(
+        old = existing.where(F.col("day").isin(union_days)).select(
             *TIER_KEY, *PARTIALS, "day"
         )
         return combined.unionByName(old).groupBy(*TIER_KEY, "day").agg(
@@ -226,6 +231,7 @@ class RollupStore:
         affected: list[str] | None = None,
         replace: bool = False,
         distribute: bool = True,
+        merge_days: list[str] | None = None,
     ) -> tuple[list[dict], dict[str, dict[str, str]]]:
         """Stage the MERGE of EVERY tier's partials as new day versions in
         ONE write job (NOT yet visible — the caller publishes atomically via
@@ -254,9 +260,9 @@ class RollupStore:
                 days = d if days is None else days.union(d)
             affected = [r.day for r in days.distinct().collect()]
         plans = [
-            self._merged_tier_plan(df, tier, affected, replace=replace).withColumn(
-                "tier", F.lit(tier)
-            )
+            self._merged_tier_plan(
+                df, tier, affected, replace=replace, merge_days=merge_days
+            ).withColumn("tier", F.lit(tier))
             for tier, df in partials_by_tier.items()
         ]
         merged = plans[0]

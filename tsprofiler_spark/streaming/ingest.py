@@ -28,6 +28,8 @@ which is what lets one test assert stream-vs-batch equality.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     IntegerType,
@@ -72,19 +74,32 @@ def stream_transcripts(
 
 
 def process_microbatch(
-    batch: DataFrame, batch_id: int, store: RollupStore
+    batch: DataFrame, batch_id: int, store: RollupStore, stream_id: str = "stream"
 ) -> list[dict]:
     """MERGE one micro-batch into every tier (same snapshot-commit path as
-    the batch job), keyed by the deterministic stream run_id — replaying
-    the same ``batch_id`` is a no-op. Exposed at module level so the
-    replay-safety test can drive it directly."""
+    the batch job), keyed by the deterministic ``{stream_id}-{batch_id}``
+    run_id — replaying the same batch of the same stream is a no-op.
+    Exposed at module level so the replay-safety test can drive it directly.
+
+    ``stream_id`` is the Delta-style ``txnAppId``: ``batch_id`` is only
+    unique PER CHECKPOINT, so two queries sharing one store (or a new
+    query after a checkpoint reset) would collide at ``stream-0`` and the
+    colliding batch would be silently skipped as a "replay" while its
+    source offsets still commit — permanent data loss. Each distinct
+    streaming query over a store must pass a distinct stream_id
+    (start_rollup_stream derives one from the checkpoint path); the
+    checkpoint dir and the manifest's run history form ONE unit of state —
+    deleting the checkpoint without resetting the store re-delivers the
+    source from offset zero into fresh run_ids, which the additive MERGE
+    would double-fold (the same contract Delta documents for
+    txnAppId/txnVersion idempotent writes)."""
     if batch.isEmpty():
         return []
     from pyspark.sql import functions as F
 
     from tsprofiler_spark.plans.retention import format_days, touched_days
 
-    run_id = f"stream-{batch_id}"
+    run_id = f"{stream_id}-{batch_id}"
     if store.manifest.has_run(run_id):
         return []  # at-least-once replay of a committed batch
     # one scan: watermark + touched day partitions for every tier MERGE
@@ -115,10 +130,22 @@ def start_rollup_stream(
     ``available_now=True`` drains everything currently available then stops
     (used by tests and backfills); ``False`` runs continuously with the
     default micro-batch trigger.
+
+    The run-dedup identity is ``uuid5(checkpoint_dir)-{batch_id}``: stable
+    across restarts of the SAME query (checkpoint resume replays the same
+    batch_id under the same stream_id — correctly skipped), distinct for
+    a second query over the same store (different checkpoint -> different
+    stream_id — no collision). See process_microbatch for the
+    checkpoint/store lifecycle contract.
     """
+    import uuid
+
+    stream_id = "stream-" + uuid.uuid5(
+        uuid.NAMESPACE_URL, os.path.abspath(checkpoint_dir)
+    ).hex[:12]
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        process_microbatch(batch, batch_id, store)
+        process_microbatch(batch, batch_id, store, stream_id=stream_id)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

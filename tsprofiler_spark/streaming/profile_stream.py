@@ -6,8 +6,8 @@ loop (profiler/buffer/buffer.go:39-83, chunk close profiler/profiler.go:
 into the SAME chunk-state rows the batch pipeline produces
 (operators/profile.py bucketize + chunk_stats + with_state), using
 ``applyInPandasWithState``: per (series, metric) group the state carries
-the partial chunk buffer (values not yet filling a chunk), the running
-sequence offset, and the cumulative sums that define the reference's
+the partial chunk buffer (values not yet filling a chunk) and the
+cumulative closed-chunk sums that define the reference's
 ``current_avg`` cross-term — O(buffer_size) state per series, regardless
 of stream length (the reference's own O(1)-memory property).
 
@@ -62,10 +62,12 @@ CHUNK_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# carried across micro-batches per (series, metric)
+# carried across micro-batches per (series, metric). cum_n doubles as the
+# consumed-row sequence offset: chunks close only at exactly buffer_size
+# rows, so rows-in-closed-chunks == rows consumed, and
+# bucket_idx = cum_n // buffer_size.
 STATE_SCHEMA = StructType(
     [
-        StructField("seq", LongType()),          # rows consumed so far
         StructField("cum_n", LongType()),        # rows in CLOSED chunks
         StructField("cum_s1", DoubleType()),     # sum of values in closed chunks
         StructField("pend_values", ArrayType(DoubleType())),
@@ -91,11 +93,11 @@ def _make_chunk_fn(settings: Settings):
         from tsprofiler_spark.kernel.discretize import closest_discretize
 
         if state.exists:
-            seq, cum_n, cum_s1, pend_values, pend_ts = state.get
+            cum_n, cum_s1, pend_values, pend_ts = state.get
             values = list(pend_values)
             tss = list(pend_ts)
         else:
-            seq, cum_n, cum_s1 = 0, 0, 0.0
+            cum_n, cum_s1 = 0, 0.0
             values, tss = [], []
 
         rows = pd.concat(list(pdfs), ignore_index=True)
@@ -109,7 +111,7 @@ def _make_chunk_fn(settings: Settings):
             chunk_ts = tss[:buffer_size]
             values = values[buffer_size:]
             tss = tss[buffer_size:]
-            bucket_idx = seq // buffer_size
+            bucket_idx = cum_n // buffer_size
             n = buffer_size
             s1 = float(chunk.sum())
             s2 = float((chunk * chunk).sum())
@@ -135,11 +137,10 @@ def _make_chunk_fn(settings: Settings):
                     "state": st,
                 }
             )
-            seq += buffer_size
             cum_n += n
             cum_s1 += s1
 
-        state.update((seq, cum_n, cum_s1, values, tss))
+        state.update((cum_n, cum_s1, values, tss))
         if out:
             yield pd.DataFrame(out)
 
