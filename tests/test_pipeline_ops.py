@@ -444,3 +444,43 @@ def test_embedding_near_dups_matches_bucketed_bruteforce(embs):
     assert set(got) == set(want)
     for pair, cos in want.items():
         assert abs(got[pair] - cos) <= 1e-6, (pair, got[pair], cos)
+
+
+def test_null_value_never_consumes_a_buffer_slot(spark):
+    """The reference skips unparseable cells BEFORE buffering
+    (cmd/csv2tsprofile/main.go:166-170): a NULL observation must not get a
+    seq slot — before the fix it did, and chunk_stats' n == buffer_size
+    completeness gate then deleted the whole chunk, silently dropping
+    buffer_size-1 REAL observations (non-gap-fill path)."""
+    import datetime as dt
+
+    from tsprofiler_spark.config import Settings
+    from tsprofiler_spark.operators.ingest import derive_series
+    from tsprofiler_spark.operators.profile import (
+        bucketize,
+        bucketize_segmented,
+        chunk_stats,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c", i, "user", None if i == 2 else "x" * (5 + i), "bash",
+         t0 + dt.timedelta(minutes=i))
+        for i in range(9)  # 8 real values + 1 NULL; buffer_size 4
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    series = derive_series(t)
+    settings = Settings(buffer_size=4, states=6, fix_bound=True,
+                        fixed_min=0.0, fixed_max=128.0)
+    chunks = chunk_stats(bucketize(series, 4), settings).collect()
+    # 8 non-null values -> exactly 2 complete chunks, none poisoned
+    assert len(chunks) == 2
+    assert sorted(c.bucket_idx for c in chunks) == [0, 1]
+    assert all(c.n == 4 for c in chunks)
+    # segmented variant: identical contract
+    seg = chunk_stats(bucketize_segmented(series, 4, segment_turns=4), settings).collect()
+    assert sorted((c.bucket_idx, c.n, c.s1) for c in seg) == sorted(
+        (c.bucket_idx, c.n, c.s1) for c in chunks
+    )

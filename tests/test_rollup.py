@@ -43,7 +43,7 @@ def test_tier_counts_conserve(series):
 
 def test_tier_transitions_probs_sum(series):
     tiers = build_tiers(series, SETTINGS)
-    tx = tier_transitions(tiers["1h"], SETTINGS)
+    tx = tier_transitions(tiers["1h"])
     sums = (
         tx.groupBy("conv_id", "tool", "role", "metric", "ident")
         .agg(F.sum("prob_pct").alias("s"), F.count("*").alias("k"))

@@ -99,3 +99,40 @@ def test_pipeline_segmented_equals_plain(spark, skewed):
     )
     assert segmented == plain
     assert len(plain) > 0
+
+
+def test_pipeline_segmented_equals_plain_irregular_cadence(spark):
+    """Gap-filled + segmented with observed cadence != step_seconds: gap
+    rows' interpolated ts (min_ts + turn*step) can EXCEED later observed
+    ts, so (ts, turn_idx) ordering diverges from the turn ordering the
+    non-segmented gap-fill path buckets by. The segmented path must order
+    by turn_idx too (pipeline passes order_cols through) — with regular
+    synthetic cadence the two orders coincide, which is exactly why the
+    plain-equality test above cannot catch this."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for conv in ("a", "b"):
+        # observed turns every 30s with every 3rd turn missing; gap fill at
+        # 60s interpolates missing turn k at t0+60k, past later observed
+        # turns (turn 2 observed at 60s == gap ts of turn 1, turn 4 at
+        # 120s < gap ts of turn 3 at 180s, ...)
+        for turn in range(0, 200):
+            if turn % 3 == 1:
+                continue
+            rows.append(
+                (conv, turn, "user" if turn % 2 == 0 else "asst",
+                 "x" * (3 + (turn * 7) % 40), "bash",
+                 t0 + dt.timedelta(seconds=30 * turn))
+            )
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    cols = ["conv_id", "tool", "role", "metric", "profile_json"]
+    plain = _rows(run_profile(t, SETTINGS, do_gap_fill=True), cols)
+    segmented = _rows(
+        run_profile(t, SETTINGS, do_gap_fill=True, segment_turns=SEG), cols
+    )
+    assert segmented == plain
+    assert len(plain) > 0

@@ -55,11 +55,15 @@ def parse_args(argv=None):
     ap.add_argument("--phasechangehistoryfadeout", action="store_true")
     ap.add_argument("--output", default="-",
                     help="path to write profile to, stdout if '-'")
-    ap.add_argument("--out-history", default="",
+    # the reference's go-flags spellings are DOTTED (main.go:35-38
+    # long:"out.history" etc.) — accept both so reference-driving scripts
+    # work verbatim; argparse needs an explicit dest for the dotted form
+    ap.add_argument("--out-history", "--out.history", dest="out_history",
+                    default="",
                     help="path for the history doc, '-' stdout, empty disables")
-    ap.add_argument("--out-phases", default="")
-    ap.add_argument("--out-periods", default="")
-    ap.add_argument("--out-states", default="")
+    ap.add_argument("--out-phases", "--out.phases", dest="out_phases", default="")
+    ap.add_argument("--out-periods", "--out.periods", dest="out_periods", default="")
+    ap.add_argument("--out-states", "--out.states", dest="out_states", default="")
     return ap.parse_args(argv)
 
 

@@ -196,6 +196,15 @@ def gap_fill_segmented(
     come from an aggregate of the boundary table instead of a whole-series
     window. Ordering inside groups is untouched: segments partition the
     turn_idx axis monotonically.
+
+    Bound caveat: the per-task bound covers the WINDOW work, not the gap
+    explode — a conversation whose turn_idx skips entire segments emits
+    the whole multi-segment gap from the one row holding the next
+    observation (same explode plain `gap_fill` does). Turn indices in
+    transcripts are dense by construction, so cross-segment jumps do not
+    occur here; a source with sparse indices at 10^6+ gaps would need the
+    explode itself chunked (sequence per covered segment), not just the
+    windows.
     """
     from pyspark.sql import Window
 

@@ -290,7 +290,9 @@ FRAME_SCHEMA = StructType(
 
 def sample_frames(payloads: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """Frame sampling stub: slice the payload into fixed-size 'frames' and
-    keep every k-th (the real operator would seek keyframes via ffmpeg)."""
+    keep the FIRST min(max_frames, payload//frame) contiguous ones — a
+    head sample, not a stride across the payload (the real operator would
+    seek keyframes via ffmpeg; the driver oracle pins this exact slicing)."""
 
     def run(batches):
         for pdf in batches:

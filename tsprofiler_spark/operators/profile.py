@@ -38,15 +38,26 @@ def bucketize(
     the window spec then matches the LOCF value-fill window exactly, so the
     sort done for that pass satisfies this one and Spark skips a second
     whole-table sort (the plan-shape test pins the sort count).
+
+    NULL values never get a seq slot: the reference skips unparseable
+    cells BEFORE buffering (cmd/csv2tsprofile/main.go:166-170 continue),
+    so a NULL observation must not consume a buffer position — counting
+    it would make chunk_stats' n == buffer_size completeness gate drop
+    the whole chunk, deleting buffer_size-1 REAL observations. No-op on
+    the gap-filled path (LOCF leaves no NULLs).
     """
     w = Window.partitionBy(*SERIES_COLS, "metric").orderBy(*order_cols)
-    return series.withColumn("seq", F.row_number().over(w) - 1).withColumn(
+    rows = series.where(F.col("value").isNotNull())
+    return rows.withColumn("seq", F.row_number().over(w) - 1).withColumn(
         "bucket_idx", (F.col("seq") / F.lit(buffer_size)).cast("long")
     )
 
 
 def bucketize_segmented(
-    series: DataFrame, buffer_size: int, segment_turns: int = 65536
+    series: DataFrame,
+    buffer_size: int,
+    segment_turns: int = 65536,
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
 ) -> DataFrame:
     """Skew-safe `bucketize`: identical output, no whole-series sort.
 
@@ -61,15 +72,26 @@ def bucketize_segmented(
     turn_idx order, and ties within a segment sort exactly as in
     `bucketize` (ts, turn_idx).
 
+    ``order_cols`` mirrors `bucketize`: gap-filled inputs MUST pass
+    ("turn_idx",) — interpolated gap ts (min_ts + turn*step_seconds) is
+    not monotone against observed ts when the real cadence differs from
+    step_seconds, so (ts, turn_idx) order there diverges from the turn
+    order the non-segmented gap-fill path buckets by (pinned by
+    test_skew's irregular-cadence case).
+
     Precondition (checked by the equality test, not at runtime): within a
-    series, ordering by (ts, turn_idx) equals ordering by turn_idx — true
-    for transcripts, where ts is monotone in turn_idx per conversation.
+    series, ordering by order_cols equals ordering by turn_idx — true for
+    raw transcripts under the default (ts monotone in turn_idx per
+    conversation), and trivially true for ("turn_idx",); segment order is
+    always turn order.
     """
     keys = [*SERIES_COLS, "metric"]
-    s = series.withColumn(
+    # same NULL-skip contract as `bucketize` (reference drops unparseable
+    # cells before buffering) — required for output equality
+    s = series.where(F.col("value").isNotNull()).withColumn(
         "_seg", (F.col("turn_idx") / F.lit(segment_turns)).cast("long")
     )
-    w_local = Window.partitionBy(*keys, "_seg").orderBy("ts", "turn_idx")
+    w_local = Window.partitionBy(*keys, "_seg").orderBy(*order_cols)
     local = s.withColumn("_local_seq", F.row_number().over(w_local) - 1)
 
     counts = s.groupBy(*keys, "_seg").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -159,7 +181,10 @@ def with_state(chunks: DataFrame, settings: Settings) -> DataFrame:
 
     Scale mode requires fixed bounds so the state is a pure per-row formula.
     """
-    assert settings.fix_bound, "scale mode discretization requires fix_bound"
+    # a real check, not `assert` — python -O would compile that out and
+    # silently discretize against the default fixed bounds
+    if not settings.fix_bound:
+        raise ValueError("scale mode discretization requires fix_bound")
     return chunks.withColumn(
         "state",
         closest_state(

@@ -278,10 +278,13 @@ def anomaly_zscore(tier_df: DataFrame, k: float = 2.0) -> DataFrame:
     )
 
 
-def tier_transitions(tier_df: DataFrame, settings: Settings) -> DataFrame:
+def tier_transitions(tier_df: DataFrame) -> DataFrame:
     """Markov transition counts between consecutive tier buckets per series
     (continuous-aggregate analogue of the reference's chunk transitions),
-    zero-seeded like counter.go:159-162, history=1."""
+    zero-seeded like counter.go:159-162. History is intentionally FIXED at
+    1 (the previous tier bucket) — tier buckets are continuous aggregates,
+    not reference chunks, so settings.history does not apply here; the
+    deep-ident semantics live in transition_counts."""
     w = Window.partitionBy(*SERIES_COLS, "metric", "tier").orderBy("bucket_start")
     with_prev = tier_df.withColumn(
         "ident", F.coalesce(F.lag("state").over(w), F.lit(0)).cast("string")

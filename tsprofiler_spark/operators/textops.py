@@ -30,8 +30,11 @@ def _stop_hits(tokens, words: list[str]):
 
 
 def token_counts(documents: DataFrame) -> DataFrame:
-    """Whitespace tokens + BPE-ish sub-word pieces (regex split on
-    non-alnum + 4-char rolling pieces approximating byte-pair granularity)."""
+    """Single-space tokens + BPE-ish sub-word pieces (split on ' ' only —
+    punctuation/newlines stay attached to their token, matching the
+    corpus's space-joined synthetic text; ceil(len/4) pieces per token
+    approximates byte-pair granularity; the driver oracle pins this exact
+    tokenization)."""
     tokens = _tokens(F.col("text"))
     word_tokens = F.size(tokens)
     distinct_tokens = F.size(F.array_distinct(tokens))

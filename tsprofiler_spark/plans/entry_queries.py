@@ -80,6 +80,7 @@ bucketed AS (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY {SERIES}, metric ORDER BY ts, turn_idx) - 1 AS seq
   FROM series
+  WHERE value IS NOT NULL
 ),
 chunks0 AS (
   SELECT {SERIES}, metric, CAST(FLOOR(seq / {SETTINGS.buffer_size}) AS BIGINT) AS bucket_idx,
@@ -439,7 +440,7 @@ WITH {_CTE_TRANSCRIPTS_SERIES}
 
 def q_tier_tx_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = _tier_df(spark, sf_dir)
-    return tier_transitions(tiers["1h"], SETTINGS).select(
+    return tier_transitions(tiers["1h"]).select(
         "conv_id", "tool", "role", "metric", "ident", "next_state",
         "cnt", "prob_pct", "step_prob",
     )

@@ -102,8 +102,15 @@ def profile_pipeline(
         series = _derive(t)
     stages["series"] = series
     if segment_turns:
+        # same order contract as the branches below: the gap-filled view is
+        # canonical on the TURN axis (interpolated gap ts is not monotone
+        # against observed ts when real cadence != step_seconds), raw
+        # transcripts on (ts, turn_idx)
         bucketed = bucketize_segmented(
-            series, settings.buffer_size, segment_turns=segment_turns
+            series,
+            settings.buffer_size,
+            segment_turns=segment_turns,
+            order_cols=("turn_idx",) if do_gap_fill else ("ts", "turn_idx"),
         )
     elif do_gap_fill:
         # The gap-filled path defines arrival order as TURN order: gap_fill

@@ -26,16 +26,22 @@ from tsprofiler_spark.sources.tables import load_table
 # role cycles user/assistant/tool by turn_idx; text deterministically embeds
 # the numeric `value` as padding so length(text) carries the series dynamics.
 # Nullable columns are coalesced inside concat: Spark's concat propagates
-# NULL while DuckDB's skips it, so un-coalesced NULL props/event_type would
-# make the two engines derive different transcripts tables.
+# NULL while DuckDB's skips it, so un-coalesced NULL props/event_type/value
+# would make the two engines derive different transcripts tables (value is
+# coalesced to 0 INSIDE repeat for the same reason). conv_id padding is
+# conditional because lpad TRUNCATES strings longer than the pad width on
+# both engines — a bare lpad(...,4) would alias user 14999 onto user 1499's
+# conversation at larger scale factors.
 TRANSCRIPTS_FROM_EVENTS_SQL = """
 SELECT
-  concat('conv-', lpad(CAST(user_id AS STRING), 4, '0'))            AS conv_id,
+  concat('conv-', CASE WHEN length(CAST(user_id AS STRING)) > 4
+                       THEN CAST(user_id AS STRING)
+                       ELSE lpad(CAST(user_id AS STRING), 4, '0') END) AS conv_id,
   CAST(seq AS INT)                                                  AS turn_idx,
   CASE CAST(seq % 3 AS INT)
     WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END      AS role,
   concat(coalesce(event_type, ''), ' ', coalesce(props, ''), ' ',
-         repeat('x', GREATEST(0, CAST(FLOOR(value) AS INT) % 97)))  AS text,
+         repeat('x', GREATEST(0, CAST(FLOOR(coalesce(value, 0)) AS INT) % 97)))  AS text,
   event_type                                                        AS tool,
   ts
 FROM (
