@@ -216,3 +216,149 @@ def test_late_row_after_1m_expiry_preserves_coarse_tiers(spark, transcripts, tmp
     # other retained days untouched
     other = [d for d in store.manifest.tiers["1h"] if d != day][0]
     assert day_totals("1h", other)[0] > 0
+    # the resurrected day is durably flagged partial on the 1m tier
+    assert day in store.manifest.partial_days("1m")
+
+
+def test_second_late_batch_after_expiry_preserves_coarse_tiers(
+    spark, transcripts, tmp_path
+):
+    """Durability of the resurrected-day state: after the FIRST late batch
+    recreates a committed 1m version for a TTL-expired day, a SECOND late
+    batch for the same day no longer looks resurrected by pointer presence
+    alone — without the manifest's per-day `partial` flag it took the
+    replace path and rebuilt the 1h/1d day from staged 1m content that
+    lacks the expired history (permanent coarse-tier loss on the streaming
+    path, which never re-expires between batches). Both late batches must
+    fold additively, and only THIS batch's increment may cascade for a
+    partial day (cascading the staged 1m content would double-count the
+    first batch's rows)."""
+    from tsprofiler_spark.plans.retention import merge_transcript_batch
+
+    store = RollupStore(spark, str(tmp_path / "s"))
+    incremental_run(
+        transcripts,
+        store,
+        SETTINGS,
+        tiers_cfg={"1m": {"ttl_days": 1}, "1h": {"ttl_days": 365}, "1d": {"ttl_days": 365}},
+        expire=True,
+    )
+    expired_days = sorted(
+        set(store.manifest.tiers["1h"]) - set(store.manifest.tiers["1m"])
+    )
+    assert expired_days
+    day = expired_days[0]
+
+    def day_totals(tier, d):
+        df = store.read_tier(tier).where(F.col("day") == d)
+        r = df.agg(F.sum("n"), F.sum("s1")).collect()[0]
+        return (r[0] or 0, r[1] or 0.0)
+
+    before_1h = day_totals("1h", day)
+    before_1d = day_totals("1d", day)
+
+    day_rows = transcripts.where(F.to_date("ts") == day)
+    late1 = day_rows.where(F.col("turn_idx") % 2 == 0).limit(7)
+    late2 = day_rows.where(F.col("turn_idx") % 2 == 1).limit(5)
+    n1, n2 = late1.count(), late2.count()
+    assert n1 > 0 and n2 > 0
+    wm = store.manifest.watermark
+
+    merge_transcript_batch(late1, store, "late-1", wm)
+    # reload the manifest from disk between batches: the flag must be
+    # durable, not an in-memory artifact (streaming restart scenario)
+    store2 = RollupStore(spark, str(tmp_path / "s"))
+    assert day in store2.manifest.partial_days("1m")
+    merge_transcript_batch(late2, store2, "late-2", wm)
+
+    store = store2
+    after_1h = day_totals("1h", day)
+    after_1d = day_totals("1d", day)
+    assert after_1h[0] == before_1h[0] + n1 + n2, (before_1h, after_1h, n1, n2)
+    assert after_1d[0] == before_1d[0] + n1 + n2
+    # the day stays flagged for every future late batch
+    assert day in store.manifest.partial_days("1m")
+    # ... until it TTL-expires out of 1m again, which clears the flag
+    store.expire("1m", 1)
+    assert day not in store.manifest.tiers.get("1m", {})
+    assert day not in store.manifest.partial_days("1m")
+
+
+def test_ttl_late_replay_restart_lifecycle(spark, transcripts, tmp_path):
+    """One combined lifecycle (r4 verdict ask #5): stream ingest -> 1m TTL
+    expiry -> late replay resurrecting an expired day -> stream RESTART
+    from the same checkpoint -> a second late drop for the same day. The
+    coarse tiers must stay additive through the whole sequence, the
+    partial flag must survive the restart, and the checkpoint must replay
+    nothing twice."""
+    from tsprofiler_spark.streaming import start_rollup_stream, stream_transcripts
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    ckpt = str(tmp_path / "ckpt")
+    base = str(tmp_path / "store")
+
+    day_rows = None  # resolved after expiry below
+
+    # phase 1: bulk ingest via the stream, then 1m TTL expiry
+    transcripts.coalesce(1).write.parquet(os.path.join(inbox, "drop1"))
+    store = RollupStore(spark, base)
+    q = start_rollup_stream(
+        stream_transcripts(spark, inbox + "/*", max_files_per_trigger=1),
+        store, SETTINGS, ckpt,
+    )
+    q.awaitTermination(120)
+    store.expire("1m", 1)
+    expired = sorted(set(store.manifest.tiers["1h"]) - set(store.manifest.tiers["1m"]))
+    assert expired
+    day = expired[0]
+
+    def day_totals(s, tier, d):
+        df = s.read_tier(tier).where(F.col("day") == d)
+        r = df.agg(F.sum("n")).collect()[0]
+        return r[0] or 0
+
+    before_1h = day_totals(store, "1h", day)
+    before_1d = day_totals(store, "1d", day)
+    assert before_1h > 0
+
+    # phase 2: late replay — drop a file of rows for the expired day and
+    # RESTART the stream from the same checkpoint (only the new file runs)
+    day_rows = transcripts.where(F.to_date("ts") == day)
+    late1 = day_rows.where(F.col("turn_idx") % 2 == 0).limit(7)
+    n1 = late1.count()
+    late1.coalesce(1).write.parquet(os.path.join(inbox, "drop2"))
+    store = RollupStore(spark, base)  # fresh handle, manifest re-read
+    q = start_rollup_stream(
+        stream_transcripts(spark, inbox + "/*", max_files_per_trigger=1),
+        store, SETTINGS, ckpt,
+    )
+    q.awaitTermination(120)
+    assert day_totals(store, "1h", day) == before_1h + n1
+    assert day in store.manifest.partial_days("1m")
+
+    # phase 3: second late drop for the SAME day, another restart — the
+    # durable partial flag must keep the merge additive
+    late2 = day_rows.where(F.col("turn_idx") % 2 == 1).limit(5)
+    n2 = late2.count()
+    assert n2 > 0
+    late2.coalesce(1).write.parquet(os.path.join(inbox, "drop3"))
+    store = RollupStore(spark, base)
+    q = start_rollup_stream(
+        stream_transcripts(spark, inbox + "/*", max_files_per_trigger=1),
+        store, SETTINGS, ckpt,
+    )
+    q.awaitTermination(120)
+    assert day_totals(store, "1h", day) == before_1h + n1 + n2
+    assert day_totals(store, "1d", day) == before_1d + n1 + n2
+
+    # phase 4: restart with nothing new — checkpoint replays nothing
+    runs_before = len(store.manifest.runs)
+    store = RollupStore(spark, base)
+    q = start_rollup_stream(
+        stream_transcripts(spark, inbox + "/*", max_files_per_trigger=1),
+        store, SETTINGS, ckpt,
+    )
+    q.awaitTermination(120)
+    assert day_totals(store, "1h", day) == before_1h + n1 + n2
+    assert len(store.manifest.runs) == runs_before

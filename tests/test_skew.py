@@ -101,6 +101,46 @@ def test_pipeline_segmented_equals_plain(spark, skewed):
     assert len(plain) > 0
 
 
+def test_auto_segment_trigger(spark, skewed):
+    """The measured skew gate (pipeline.auto_segment_turns): segmentation
+    engages exactly when the hottest conv_id exceeds the row threshold,
+    and the auto pipeline's output is value-identical to the plain path
+    either way (r4 verdict ask #4)."""
+    from tsprofiler_spark.plans.pipeline import (
+        SEGMENT_TURNS_DEFAULT,
+        auto_segment_turns,
+        profile_pipeline,
+    )
+
+    hot = skewed.groupBy("conv_id").count().agg(F.max("count")).collect()[0][0]
+    assert hot > 500  # fixture's Zipf head is the hot key
+    # below threshold -> plain path; above -> segmented at the default size
+    assert auto_segment_turns(skewed, auto_segment_rows=hot + 1) is None
+    assert (
+        auto_segment_turns(skewed, auto_segment_rows=500)
+        == SEGMENT_TURNS_DEFAULT
+    )
+
+    cols = ["conv_id", "tool", "role", "metric", "profile_json"]
+    plain = _rows(
+        run_profile(skewed, SETTINGS, do_gap_fill=True, segment_turns=None), cols
+    )
+    # force the auto gate to TRIGGER on this small fixture (threshold 500;
+    # the segmented operators engage at the default segment size), then pin
+    # value equality — the gate must change the plan, never the answer.
+    # Real splitting at segment sizes below the hot conv's length is pinned
+    # by the SEG=64 equality tests above.
+    auto = profile_pipeline(
+        skewed, SETTINGS, do_gap_fill=True, auto_segment_rows=500
+    )
+    assert _rows(auto["profile"], cols) == plain
+    auto["chunks"].unpersist()
+    # default threshold (1M rows) leaves this fixture on the plain path
+    default_stages = profile_pipeline(skewed, SETTINGS, do_gap_fill=True)
+    assert _rows(default_stages["profile"], cols) == plain
+    default_stages["chunks"].unpersist()
+
+
 def test_pipeline_segmented_equals_plain_irregular_cadence(spark):
     """Gap-filled + segmented with observed cadence != step_seconds: gap
     rows' interpolated ts (min_ts + turn*step) can EXCEED later observed

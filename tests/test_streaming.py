@@ -179,6 +179,144 @@ def test_stateful_chunk_stream_equals_batch(spark, transcripts, tmp_path):
     assert q.lastProgress is not None  # the stream actually ran batches
 
 
+def test_idle_series_state_eviction(spark, tmp_path):
+    """EventTimeTimeout eviction in stream_chunk_states: a series that goes
+    idle forever (conversation churn — every conv_id eventually does) must
+    have its partial-buffer state REMOVED once the watermark passes its
+    last event + idle_timeout, or the state store grows without bound on
+    an unbounded stream. The evicted partial emits nothing — the same
+    contract as batch, which discards a trailing incomplete chunk — so
+    stream output still equals the batch pipeline's chunk states."""
+    import datetime as dt
+    import json
+
+    from tsprofiler_spark.operators.ingest import derive_series
+    from tsprofiler_spark.operators.profile import bucketize, chunk_stats, with_state
+    from tsprofiler_spark.streaming.ingest import TRANSCRIPTS_SCHEMA
+    from tsprofiler_spark.streaming.profile_stream import stream_chunk_states
+
+    settings = Settings(
+        buffer_size=4, states=6, fix_bound=True, fixed_min=0.0, fixed_max=128.0
+    )
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def row(conv, turn, minute):
+        return (conv, turn, "assistant", "abcd", "search",
+                base + dt.timedelta(minutes=minute))
+
+    # drop1: series A — 3 rows, a PARTIAL buffer (< buffer_size) that would
+    # sit in state forever without eviction
+    drop1 = [row("a", t, t) for t in range(3)]
+    # drop2: series B two hours later — advances the watermark far past
+    # A's last event + idle_timeout
+    drop2 = [row("b", t, 120 + t) for t in range(4)]
+    # drop3: one more B row — the batch whose STARTING watermark (from
+    # drop2's event times) is past A's timeout: eviction fires here
+    drop3 = [row("b", 4, 130)]
+
+    inbox = str(tmp_path / "einbox")
+    os.makedirs(inbox)
+    for i, d in enumerate((drop1, drop2, drop3)):
+        # explicit schema: inference would write turn_idx as INT64, which
+        # the int-typed streaming read then rejects
+        spark.createDataFrame(d, TRANSCRIPTS_SCHEMA).coalesce(1).write.parquet(
+            inbox + f"/drop{i + 1}"
+        )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox + "/*")
+    )
+    series = derive_series(stream).withWatermark("ts", "1 minute")
+    out = stream_chunk_states(series, settings, idle_timeout="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    progs = [json.loads(p.json) if hasattr(p, "json") else p
+             for p in q.recentProgress]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progs
+        if p.get("stateOperators")
+    ]
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0)
+        for p in progs
+        if p.get("stateOperators")
+    )
+    # state grew to both series (a + b), then a's slot was provably removed
+    assert max(state_rows) == 2, state_rows
+    assert state_rows[-1] == 1, state_rows
+    assert removed >= 1, progs
+
+    # output == batch: only B's completed chunk; A's evicted partial emits
+    # nothing, exactly like batch's incomplete-trailing-chunk discard
+    got = sorted(
+        (r.conv_id, r.bucket_idx, r.n, r.s1, int(r.state))
+        for r in spark.sql("SELECT * FROM evict_stream").collect()
+    )
+    all_rows = spark.createDataFrame(drop1 + drop2 + drop3, cols)
+    expected = with_state(
+        chunk_stats(
+            bucketize(derive_series(all_rows), settings.buffer_size), settings
+        ),
+        settings,
+    )
+    want = sorted(
+        (r.conv_id, r.bucket_idx, r.n, r.s1, int(r.state))
+        for r in expected.collect()
+    )
+    assert got == want and len(got) == 1
+    assert got[0][0] == "b"
+
+
+def test_legacy_stream_run_id_migration_guard(spark, transcripts, tmp_path):
+    """A store written under the pre-scoped ``stream-{batch_id}`` run-id
+    scheme, resumed under the scoped scheme: the replayed in-flight batch
+    carries a new run_id the manifest has never seen, and without the
+    opt-in legacy guard the additive MERGE double-folds that one batch."""
+    from pyspark.sql import functions as F
+
+    store = RollupStore(spark, str(tmp_path / "mig"))
+    # batch 3 committed by the OLD scheme (stream_id default "stream")
+    process_microbatch(transcripts, 3, store)
+    n_before = store.read_tier("1m").agg(F.sum("n")).collect()[0][0]
+
+    # resume under the NEW scoped scheme replays batch 3
+    scoped = "stream-deadbeef1234"
+    # without the guard: double-fold (this is the failure the flag fixes)
+    # with the guard: recognized as the legacy-committed batch -> no-op
+    assert (
+        process_microbatch(
+            transcripts, 3, store, stream_id=scoped,
+            legacy_stream_ids=("stream",),
+        )
+        == []
+    )
+    assert store.read_tier("1m").agg(F.sum("n")).collect()[0][0] == n_before
+
+    # a genuinely NEW batch id under the scoped scheme still merges even
+    # with the guard on
+    more = synthesize_transcripts(
+        spark, n_convs=2, max_turns=40, seed=21, step_seconds=600
+    )
+    assert (
+        process_microbatch(
+            more, 4, store, stream_id=scoped, legacy_stream_ids=("stream",)
+        )
+        != []
+    )
+
+
 def test_watermarked_windowed_rollup(spark, tmp_path):
     """withWatermark + tumbling window 1m rollup (streaming/windowed.py):
     finalized buckets must equal the batch 1m tier over the accepted rows;

@@ -11,6 +11,7 @@ partitioning where possible.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from tsprofiler_spark.config import Settings
 from tsprofiler_spark.operators.ingest import (
@@ -33,17 +34,58 @@ from tsprofiler_spark.operators.profile import (
 )
 
 
+# Measured gate for the segmented skew path (same pattern as
+# dedup_components' driver-vs-distributed size gate): segmentation engages
+# automatically when any single conversation exceeds this many rows. Below
+# it, a whole-series window sort is at most ~tens of MB in one task —
+# cheaper than the segmented variant's extra boundary join; above it, one
+# hot conv_id serializes its entire history through a single task's sort
+# (the north_rule's skew case — at 100x a pathological conversation is
+# WHEN, not if). 1M rows ≈ 30-60 MB of (ts, turn_idx, value) sort payload.
+SEGMENT_AUTO_ROWS = 1 << 20
+SEGMENT_TURNS_DEFAULT = 65536
+
+
+def auto_segment_turns(
+    transcripts: DataFrame,
+    auto_segment_rows: int = SEGMENT_AUTO_ROWS,
+    segment_turns: int = SEGMENT_TURNS_DEFAULT,
+) -> int | None:
+    """Measured auto-trigger: ``segment_turns`` if the hottest conv_id
+    holds more than ``auto_segment_rows`` rows, else None (plain path).
+
+    Cost: one column-pruned count-by-conv pass (map-side combined to one
+    row per conversation — at 100 TB this shuffles megabytes), run ONCE at
+    pipeline construction. The alternative — always segmenting — taxes
+    every normal corpus with the boundary-offset join; always NOT
+    segmenting hands the north_rule's skew case a serialized sort."""
+    mx = (
+        transcripts.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
+    return segment_turns if (mx or 0) > auto_segment_rows else None
+
+
 def profile_pipeline(
     transcripts: DataFrame,
     settings: Settings,
     do_gap_fill: bool = True,
     step_seconds: int = 60,
     cache_chunks: bool = True,
-    segment_turns: int | None = None,
+    segment_turns: int | None | str = "auto",
     chunk_stage_dir: str | None = None,
     metrics: tuple[str, ...] | None = None,
+    auto_segment_rows: int = SEGMENT_AUTO_ROWS,
 ) -> dict[str, DataFrame]:
     """Return every intermediate stage keyed by name.
+
+    ``segment_turns``: ``"auto"`` (default) runs the measured skew gate
+    (`auto_segment_turns`) — the segmented salted path engages only when a
+    conversation exceeds ``auto_segment_rows`` rows; an int forces
+    segmentation at that segment size; ``None`` forces the plain path.
+    Value-equality of the two paths is pinned by tests/test_skew.py.
 
     The per-chunk stats table (1/buffer_size the raw row count) feeds BOTH
     the transition branch and the stats branch of the final profile;
@@ -66,6 +108,8 @@ def profile_pipeline(
     With either mode the returned plan is NOT fully lazy — one upstream
     pass runs here.
     """
+    if segment_turns == "auto":
+        segment_turns = auto_segment_turns(transcripts, auto_segment_rows)
     stages: dict[str, DataFrame] = {}
     t = transcripts
 

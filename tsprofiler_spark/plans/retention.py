@@ -128,37 +128,60 @@ def merge_transcript_batch(
         {"1m": finest}, run_id, affected=affected, distribute=False
     )
     staged_1m = store.read_versions("1m", pointers["1m"])
-    # 1d cascades from the 1h partials (not from 1m): sums/min/max compose,
-    # and the 1h->1d re-aggregation reads 60x fewer rows. The 1h partials
-    # table is tiny (one row per series-hour), so IT is worth a pinned
-    # cache to keep the 1d branch from re-reading the 1m files.
-    coarse_1h = _cascade_partials(staged_1m, "1h").persist()
-    coarse_1h.count()  # pin eagerly: both union branches below consume it
-    coarse_1d = _cascade_partials(coarse_1h, "1d")
-    # replace=True: staged_1m already holds each affected day's COMPLETE
-    # merged 1m content, so the cascaded 1h/1d partials are full day
-    # replacements — no union with the existing 1h/1d needed (and unioning
-    # would double-count exactly the previously merged data).
-    #
-    # EXCEPT for days with no committed 1m version (``resurrected``): a
-    # late row for a day already TTL-expired out of 1m (tier TTLs differ —
-    # 1m 30d vs 1h 180d / 1d 10y) stages a 1m day holding ONLY the late
-    # rows, and a full replace would destroy the surviving 1h/1d history
-    # for that day. Those days keep merge semantics: the cascaded
-    # late-row partials fold ADDITIVELY into the existing 1h/1d day (no
-    # double-count — the expired 1m content is, by definition, not in the
-    # staged 1m the cascade was computed from). The set is read from the
-    # manifest BEFORE commit_run, so a crash-replay of this run_id stages
-    # the identical plan. Pinned by test_late_row_after_1m_expiry.
+    # Days whose 1m content is INCOMPLETE (TTL-resurrected): a late row for
+    # a day already expired out of 1m (tier TTLs differ — 1m 30d vs 1h 180d
+    # / 1d 10y) stages a 1m day holding ONLY late rows, and a full 1h/1d
+    # replace would destroy the surviving long-TTL history for that day.
+    # Two sources, both needed:
+    #   * freshly resurrected this batch: no committed 1m version but a
+    #     coarser tier still holds the day;
+    #   * flagged `partial` in the manifest by an EARLIER late batch — the
+    #     1m day IS committed now, but still lacks the expired history, so
+    #     pointer presence alone would wrongly route it to the replace path
+    #     and rebuild 1h/1d from late rows only (the flag is durable for
+    #     exactly this: the streaming path never re-expires between
+    #     batches, so without it the second late batch for a day silently
+    #     destroyed the coarse rollup).
+    # Both sets are read from the manifest BEFORE commit_run, so a
+    # crash-replay of this run_id stages the identical plan. Pinned by
+    # test_late_row_after_1m_expiry / test_second_late_batch_after_expiry.
     committed_1m = store.manifest.tiers.get("1m") or {}
     committed_coarse = set(store.manifest.tiers.get("1h") or {}) | set(
         store.manifest.tiers.get("1d") or {}
     )
-    # "no 1m version AND a coarser tier still holds the day" — brand-new
-    # days (in no tier yet) stay on the replace fast path
+    partial_1m = store.manifest.partial_days("1m")
+    # brand-new days (in no tier yet) stay on the replace fast path
     resurrected = [
-        d for d in affected if d not in committed_1m and d in committed_coarse
+        d
+        for d in affected
+        if (d not in committed_1m and d in committed_coarse) or d in partial_1m
     ]
+    # Cascade source: staged (complete) day content for replaced days, but
+    # ONLY THIS BATCH'S increment for resurrected days — the staged 1m day
+    # there also contains earlier late batches' rows, which the additive
+    # fold already merged into 1h/1d; cascading the staged content again
+    # would double-count them.
+    if resurrected:
+        day_of = F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
+        cascade_src = staged_1m.drop("day").where(
+            ~day_of.isin(resurrected)
+        ).unionByName(finest.where(day_of.isin(resurrected)))
+    else:
+        cascade_src = staged_1m.drop("day")
+    # 1d cascades from the 1h partials (not from 1m): sums/min/max compose,
+    # and the 1h->1d re-aggregation reads 60x fewer rows. The 1h partials
+    # table is tiny (one row per series-hour), so IT is worth a pinned
+    # cache to keep the 1d branch from re-reading the 1m files.
+    coarse_1h = _cascade_partials(cascade_src, "1h").persist()
+    coarse_1h.count()  # pin eagerly: both union branches below consume it
+    coarse_1d = _cascade_partials(coarse_1h, "1d")
+    # replace=True: for non-resurrected days the cascade source is the
+    # staged 1m day's COMPLETE merged content, so the cascaded 1h/1d
+    # partials are full day replacements — no union with the existing
+    # 1h/1d needed (and unioning would double-count exactly the
+    # previously merged data). Resurrected days keep merge semantics
+    # (``merge_days``): their cascaded increment folds ADDITIVELY into
+    # the existing 1h/1d day, preserving the long-TTL rollup.
     tier_lineage, tier_ptrs = store.merge_tiers(
         {"1h": coarse_1h, "1d": coarse_1d},
         run_id,
@@ -169,7 +192,12 @@ def merge_transcript_batch(
     lineage += tier_lineage
     pointers.update(tier_ptrs)
     coarse_1h.unpersist()
-    store.commit_run(run_id, watermark, lineage, pointers)
+    # the resurrected days' new 1m versions still lack the expired history:
+    # flag them durably IN THE SAME atomic manifest commit
+    store.commit_run(
+        run_id, watermark, lineage, pointers,
+        partial_days={"1m": resurrected} if resurrected else None,
+    )
     return lineage
 
 

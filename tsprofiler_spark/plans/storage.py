@@ -56,6 +56,16 @@ class Manifest:
     # per compacted id the manifest stays small, whereas unbounded full
     # lineage (per-day partition records) grew it without limit.
     compacted_run_ids: list = field(default_factory=list)
+    # tier -> sorted list of days whose committed content is INCOMPLETE
+    # (a TTL-resurrected day holds only late rows, not the expired
+    # history). Durable because the incompleteness outlives the batch that
+    # created it: a SECOND late batch for the same day must keep additive
+    # merge semantics toward the coarser tiers — re-deriving "resurrected"
+    # from pointer presence alone would see the day committed and take the
+    # replace path, rebuilding the 1h/1d day from late rows only and
+    # silently destroying the surviving long-TTL rollup. The flag clears
+    # when the day TTL-expires out of the tier again (drop_days).
+    partial: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         self._run_ids = set(self.compacted_run_ids)
@@ -72,11 +82,16 @@ class Manifest:
                 runs=d.get("runs", []),
                 tiers=d.get("tiers", {}),
                 compacted_run_ids=d.get("compacted_run_ids", []),
+                partial=d.get("partial", {}),
             )
         return Manifest(path=path)
 
     def has_run(self, run_id: str) -> bool:
         return run_id in self._run_ids
+
+    def partial_days(self, tier: str) -> set[str]:
+        """Days committed in ``tier`` with INCOMPLETE content (see `partial`)."""
+        return set(self.partial.get(tier, []))
 
     def _save(self) -> None:
         tmp = self.path + ".tmp"
@@ -88,6 +103,7 @@ class Manifest:
                     "runs": self.runs,
                     "tiers": self.tiers,
                     "compacted_run_ids": self.compacted_run_ids,
+                    "partial": self.partial,
                 },
                 f,
                 indent=1,
@@ -100,8 +116,11 @@ class Manifest:
         watermark: str,
         partitions: list[dict],
         pointers: dict[str, dict[str, str]] | None = None,
+        partial_days: dict[str, list[str]] | None = None,
     ) -> None:
-        """Single atomic commit: watermark + lineage + tier snapshot pointers."""
+        """Single atomic commit: watermark + lineage + tier snapshot pointers
+        (+ newly-partial day flags, committed in the SAME atomic save so a
+        crash can never publish a resurrected day without its flag)."""
         self.watermark = watermark
         self.runs.append(
             {
@@ -116,13 +135,24 @@ class Manifest:
             self.compacted_run_ids.append(self.runs.pop(0)["run_id"])
         for tier, days in (pointers or {}).items():
             self.tiers.setdefault(tier, {}).update(days)
+        for tier, days in (partial_days or {}).items():
+            if days:
+                self.partial[tier] = sorted(set(self.partial.get(tier, [])) | set(days))
         self._save()
 
     def drop_days(self, tier: str, days: list[str]) -> None:
-        """Commit a TTL expiry (pointer removal) before any dir deletion."""
+        """Commit a TTL expiry (pointer removal) before any dir deletion.
+        A dropped day's `partial` flag clears with it: once the incomplete
+        version is gone, the next late row re-resurrects from scratch."""
         t = self.tiers.get(tier, {})
         for d in days:
             t.pop(d, None)
+        if tier in self.partial:
+            keep = [d for d in self.partial[tier] if d not in set(days)]
+            if keep:
+                self.partial[tier] = keep
+            else:
+                del self.partial[tier]
         self._save()
 
 
@@ -205,15 +235,20 @@ class RollupStore:
             "day", F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
         )
         union_days = list(merge_days or []) if replace else list(affected)
-        existing = None if not union_days else self.read_tier(tier)
-        combined = new_partials.select(*TIER_KEY, *PARTIALS, "day")
-        if existing is None:
+        # Read ONLY the union days' committed versions — the manifest is the
+        # partition index, so this opens a handful of day dirs instead of
+        # scanning the whole tier (a full-history read of the 10y 1d tier to
+        # recover one resurrected day was the measured worst case).
+        committed = self.manifest.tiers.get(tier) or {}
+        pointers = {d: v for d, v in committed.items() if d in set(union_days)}
+        if not pointers:
             # bootstrap load (or pure replace): partials come out of a
             # groupBy on exactly (TIER_KEY, bucket day) — already one row
             # per key, so the merge re-aggregation would be an identity
             # shuffle of the full tier; skip it.
-            return combined
-        old = existing.where(F.col("day").isin(union_days)).select(
+            return new_partials.select(*TIER_KEY, *PARTIALS, "day")
+        combined = new_partials.select(*TIER_KEY, *PARTIALS, "day")
+        old = self.read_versions(tier, pointers).select(
             *TIER_KEY, *PARTIALS, "day"
         )
         return combined.unionByName(old).groupBy(*TIER_KEY, "day").agg(
@@ -381,6 +416,7 @@ class RollupStore:
         watermark: str,
         lineage: list[dict],
         pointers: dict[str, dict[str, str]],
+        partial_days: dict[str, list[str]] | None = None,
     ) -> None:
         """Atomically publish every staged tier version + watermark, then GC
         superseded version dirs (safe post-commit: readers only follow the
@@ -388,7 +424,9 @@ class RollupStore:
         old = {
             tier: dict(self.manifest.tiers.get(tier, {})) for tier in pointers
         }
-        self.manifest.record_run(run_id, watermark, lineage, pointers)
+        self.manifest.record_run(
+            run_id, watermark, lineage, pointers, partial_days=partial_days
+        )
         for tier, days in pointers.items():
             for day, ver in days.items():
                 prev = old.get(tier, {}).get(day)

@@ -74,7 +74,11 @@ def stream_transcripts(
 
 
 def process_microbatch(
-    batch: DataFrame, batch_id: int, store: RollupStore, stream_id: str = "stream"
+    batch: DataFrame,
+    batch_id: int,
+    store: RollupStore,
+    stream_id: str = "stream",
+    legacy_stream_ids: tuple[str, ...] = (),
 ) -> list[dict]:
     """MERGE one micro-batch into every tier (same snapshot-commit path as
     the batch job), keyed by the deterministic ``{stream_id}-{batch_id}``
@@ -92,7 +96,21 @@ def process_microbatch(
     deleting the checkpoint without resetting the store re-delivers the
     source from offset zero into fresh run_ids, which the additive MERGE
     would double-fold (the same contract Delta documents for
-    txnAppId/txnVersion idempotent writes)."""
+    txnAppId/txnVersion idempotent writes).
+
+    ``legacy_stream_ids``: MIGRATION-ONLY replay guard. A store written by
+    the pre-r4 scheme committed runs as ``stream-{batch_id}``; when its
+    checkpoint resumes under the scoped scheme, the replayed in-flight
+    batch carries a new run_id the manifest has never seen, and the
+    additive MERGE would double-fold that one batch. Passing the old ids
+    here (normally ``("stream",)``) also skips batches committed under
+    ``{legacy_id}-{batch_id}``. Deliberately opt-in and to be REMOVED after
+    the first drained restart: left on permanently, a *different* new
+    query over the same store whose batch_id collides with a legacy run
+    would be silently skipped — the exact collision the scoped ids fixed.
+    The zero-flag alternative is a drain-and-restart migration: stop the
+    old stream at an idle point (no in-flight batch), then restart on the
+    new scheme."""
     if batch.isEmpty():
         return []
     from pyspark.sql import functions as F
@@ -102,6 +120,9 @@ def process_microbatch(
     run_id = f"{stream_id}-{batch_id}"
     if store.manifest.has_run(run_id):
         return []  # at-least-once replay of a committed batch
+    for legacy in legacy_stream_ids:
+        if store.manifest.has_run(f"{legacy}-{batch_id}"):
+            return []  # replay of a batch committed under the legacy scheme
     # one scan: watermark + touched day partitions for every tier MERGE
     wm, affected = batch.agg(F.max("ts"), touched_days()).collect()[0]
     affected = format_days(affected)
@@ -124,6 +145,7 @@ def start_rollup_stream(
     settings: Settings,
     checkpoint_dir: str,
     available_now: bool = True,
+    legacy_stream_ids: tuple[str, ...] = (),
 ):
     """Start the continuous rollup: stream -> foreachBatch tier MERGE.
 
@@ -136,7 +158,10 @@ def start_rollup_stream(
     batch_id under the same stream_id — correctly skipped), distinct for
     a second query over the same store (different checkpoint -> different
     stream_id — no collision). See process_microbatch for the
-    checkpoint/store lifecycle contract.
+    checkpoint/store lifecycle contract and for ``legacy_stream_ids``
+    (one-restart migration guard for stores written by the pre-scoped
+    ``stream-{batch_id}`` scheme; pass ``("stream",)`` for the first
+    resumed restart, then drop it).
     """
     import uuid
 
@@ -145,7 +170,10 @@ def start_rollup_stream(
     ).hex[:12]
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        process_microbatch(batch, batch_id, store, stream_id=stream_id)
+        process_microbatch(
+            batch, batch_id, store, stream_id=stream_id,
+            legacy_stream_ids=legacy_stream_ids,
+        )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

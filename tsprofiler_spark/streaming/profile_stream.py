@@ -76,7 +76,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _make_chunk_fn(settings: Settings):
+def _make_chunk_fn(settings: Settings, idle_timeout_ms: int | None = None):
     buffer_size = settings.buffer_size
     states = settings.states
     fixed_min = settings.fixed_min
@@ -92,6 +92,16 @@ def _make_chunk_fn(settings: Settings):
 
         from tsprofiler_spark.kernel.discretize import closest_discretize
 
+        if state.hasTimedOut:
+            # idle-series eviction: the watermark passed this series' last
+            # event + idle_timeout, i.e. the stream declares the series
+            # finished. DROP the partial buffer — exactly what the batch
+            # pipeline does with a trailing incomplete chunk (chunk_stats'
+            # n == buffer_size gate; the reference discards a partially
+            # filled buffer at stream end) — and free the state slot.
+            state.remove()
+            return
+
         if state.exists:
             cum_n, cum_s1, pend_values, pend_ts = state.get
             values = list(pend_values)
@@ -102,6 +112,7 @@ def _make_chunk_fn(settings: Settings):
 
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "turn_idx"], kind="mergesort")
+        batch_max_ts = rows["ts"].max() if len(rows) else None
         values.extend(float(v) for v in rows["value"])
         tss.extend(rows["ts"])
 
@@ -141,20 +152,67 @@ def _make_chunk_fn(settings: Settings):
             cum_s1 += s1
 
         state.update((cum_n, cum_s1, values, tss))
+        if idle_timeout_ms is not None:
+            # Event-time timeout: fire when the WATERMARK passes this
+            # series' newest event + idle_timeout. Session tz is pinned UTC
+            # (session.py), so the naive pandas timestamps are epoch-exact.
+            # Spark requires the timeout timestamp to be strictly later
+            # than the current watermark — a series whose newest event is
+            # already idle_timeout behind the watermark times out at the
+            # next possible tick instead of erroring.
+            last_ms = (
+                int(batch_max_ts.value // 1_000_000)
+                if batch_max_ts is not None
+                else 0
+            )
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + idle_timeout_ms, wm_ms + 1))
         if out:
             yield pd.DataFrame(out)
 
     return chunk_fn
 
 
-def stream_chunk_states(series_stream: DataFrame, settings: Settings) -> DataFrame:
+def stream_chunk_states(
+    series_stream: DataFrame,
+    settings: Settings,
+    idle_timeout: str | None = None,
+) -> DataFrame:
     """Streaming chunk-state operator over a `derive_series`-shaped stream
     (conv_id, tool, role, turn_idx, ts, metric, value). Emits one row per
-    COMPLETED chunk, append-mode; partial chunks wait in state."""
+    COMPLETED chunk, append-mode; partial chunks wait in state.
+
+    ``idle_timeout`` (e.g. ``"30 minutes"``): evict the state of series
+    idle longer than this in EVENT time. Without it the state store grows
+    without bound on conversation-churn streams — every conv_id that goes
+    idle forever leaves an orphaned partial buffer (the one named
+    scale-killer of the r4 review). The input stream MUST carry
+    ``withWatermark("ts", ...)``; eviction fires when the watermark passes
+    a series' newest event + idle_timeout, and DROPS the partial buffer —
+    the same contract as batch, which discards a trailing incomplete chunk
+    (chunk_stats' completeness gate), so stream==batch equality holds for
+    every series that is truly finished when it times out. A series that
+    RESUMES after its timeout starts a fresh buffer/cumulative fold (the
+    stream treated it as terminated); pick the timeout above the corpus'
+    real inter-turn idle ceiling. ``None`` preserves the unbounded-state
+    behavior for bounded backfills."""
+    timeout_conf = GroupStateTimeout.NoTimeout
+    idle_ms: int | None = None
+    if idle_timeout is not None:
+        qty, unit = idle_timeout.split()
+        unit_ms = {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit.lower()]
+        idle_ms = int(qty) * unit_ms
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
     return series_stream.groupBy(*SERIES_COLS, "metric").applyInPandasWithState(
-        _make_chunk_fn(settings),
+        _make_chunk_fn(settings, idle_timeout_ms=idle_ms),
         outputStructType=CHUNK_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
