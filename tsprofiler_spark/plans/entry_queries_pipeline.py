@@ -853,22 +853,34 @@ _register("sim_ivf_kmeans_topk", _q_sim_ivf_kmeans_topk, _ivf_kmeans_oracle())
 # --- parity + predictor (sequential reference kernels; non-SQL-expressible,
 # --- rows-only driver check; bit-exactness is pinned in pytest vs the kernel) --
 
-def _q_parity_profiles(spark, sf):
+def _parity_settings():
     from tsprofiler_spark.config import Settings
-    from tsprofiler_spark.operators.ingest import derive_series
-    from tsprofiler_spark.plans.parity import parity_profiles
-    from tsprofiler_spark.sources.transcripts import transcripts_from_events
 
-    settings = Settings(
+    return Settings(
         buffer_size=4, states=8, history=1, fix_bound=True,
         fixed_min=0.0, fixed_max=128.0, period_size=(4, 6),
         phase_change_likeliness=0.5, phase_change_history=4,
     )
+
+
+def _q_parity_profiles(spark, sf):
+    from tsprofiler_spark.operators.ingest import derive_series
+    from tsprofiler_spark.plans.parity import parity_profiles
+    from tsprofiler_spark.sources.transcripts import transcripts_from_events
+
     t = transcripts_from_events(spark, sf)
-    return parity_profiles(derive_series(t), settings)
+    return parity_profiles(derive_series(t), _parity_settings())
 
 
-_register("parity_profiles", _q_parity_profiles)
+def _q_parity_profile_doc(spark, sf):
+    """Driver row for the ASSEMBLED profile document: the full
+    ``profile_json`` string per series, hash-compared against a DuckDB
+    oracle that rebuilds the byte-identical JSON from the section replays
+    (r4 verdict ask #3 — the glue the piecewise rows couldn't see: key
+    ordering, struct field order, the settings block, section nesting)."""
+    return _q_parity_profiles(spark, sf).select(
+        "conv_id", "tool", "role", "profile_json"
+    )
 
 
 # The parity fold's ROOT TxMatrix is SQL-expressible for this config
@@ -1202,7 +1214,10 @@ def _q_parity_tree(spark, sf):
     )
 
 
-_PARITY_TREE_TAIL = """
+# CTE block shared by the parity_tree oracle and the full-document oracle
+# (_profile_doc_oracle below): snapshot windows, frozen idents, and the
+# integer merge fold over the chronological snapshot list.
+_PARITY_TREE_CTES = """
 pt_prev AS (
   SELECT conv_id, tool, role, metric, bucket_idx AS k, state,
     COALESCE(LAG(state) OVER (PARTITION BY conv_id, tool, role, metric ORDER BY bucket_idx), 0) AS prev_state,
@@ -1251,11 +1266,17 @@ pt_fold AS (
          list_reduce(list(pct ORDER BY k), (acc, x) -> (acc + x + 1) // 2) AS prob_pct
   FROM pt_grid GROUP BY conv_id, tool, role, metric, node_p, ident_state, next_state
 )
+""".strip()
+
+_PARITY_TREE_TAIL = (
+    _PARITY_TREE_CTES
+    + """
 SELECT conv_id, tool, role, metric, CAST(node_p AS INT) AS node_p,
        CAST(ident_state AS VARCHAR) AS ident, CAST(next_state AS INT) AS next_state,
        CAST(prob_pct AS INT) AS prob_pct, CAST(100 AS INT) AS step_prob
 FROM pt_fold
-""".strip()
+""".rstrip()
+)
 
 
 _register(
@@ -1488,14 +1509,12 @@ FROM fold WHERE k > 0
     )
 
 
-def _phase_tx_tail(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str:
-    """Fold CTEs + the FINAL phase matrices (Phases document content,
-    phase.go:176-199): per-phase integer-percent grids and the phase-tx
-    matrix, as flat (kind, phase_id, ident, next_state, prob_pct,
-    step_prob) cells. Probabilities via _go_round_pct (bit-identical
-    float replication); step probability denominators: chunks counted
-    into the phase (stats.count/buffer_size = 4*nc/4) for phase grids,
-    total chunks (count/1) for the phase-tx grid."""
+def _phase_doc_ctes(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str:
+    """Fold CTEs + the final-state relations backing BOTH the
+    parity_phase_tx cells (tail below) and the full-document oracle:
+    ``last`` (final fold row per series), ``pcnt`` (chunks per phase),
+    ``pcells`` (flattened per-phase count grids), ``txcells`` (flattened
+    phase-tx grid)."""
     C = states * states
     S = states
     return (
@@ -1537,6 +1556,21 @@ txcells AS (
     }})) AS c
   FROM last
 )
+""".rstrip()
+    )
+
+
+def _phase_tx_tail(states: int = 8, hist: int = 4, thresh: str = "0.5") -> str:
+    """Fold + doc CTEs + the FINAL phase matrices (Phases document content,
+    phase.go:176-199): per-phase integer-percent grids and the phase-tx
+    matrix, as flat (kind, phase_id, ident, next_state, prob_pct,
+    step_prob) cells. Probabilities via _go_round_pct (bit-identical
+    float replication); step probability denominators: chunks counted
+    into the phase (stats.count/buffer_size = 4*nc/4) for phase grids,
+    total chunks (count/1) for the phase-tx grid."""
+    return (
+        _phase_doc_ctes(states, hist, thresh)
+        + f"""
 SELECT p.conv_id, p.tool, p.role, 'phase' AS kind,
        CAST(p.c['pid'] AS INT) AS phase_id, 'len_text' AS metric,
        CAST(p.c['ident'] AS VARCHAR) AS ident,
@@ -1611,6 +1645,272 @@ WITH RECURSIVE {_parity_cte()},
 {_phase_tx_tail()}
 """.strip(),
 )
+
+
+# --- the FULL profile document (r4 verdict ask #3) -------------------------
+#
+# parity_profiles hashes the assembled ``profile_json`` STRING per series.
+# The oracle rebuilds the byte-identical ``json.dumps(doc, sort_keys=True)``
+# output in DuckDB from the section replays already validated piecewise:
+# roottx cells (txm) + the recursive global-stats fold (stats_cols), the
+# period-tree cell fold (pt_fold) + a NEW tree-node stats fold (the
+# period.py:84-96 snapshot merge: count++, weighted 2-way mean against the
+# level-0 counter's WINDOW stats, cumulative-window ssum accumulation),
+# and the phase fold's final matrices (pcells/txcells + sp_* stats).
+#
+# Byte equality hinges on double FORMATTING: json.dumps renders doubles via
+# Python repr (shortest round-trip decimal), and DuckDB's DOUBLE->VARCHAR
+# cast is the same shortest-round-trip algorithm — verified identical on
+# every corpus value and on a 20k random-double sweep incl. integral,
+# negative-zero and subnormal values (tests/test_profile_doc.py pins the
+# sweep; a DuckDB upgrade that changes formatting fails THAT test, not the
+# driver gate). NaN diverges ('nan' vs json.dumps' 'NaN') and is handled in
+# _py_double_sql; json object keys are re-sorted lexicographically by
+# string_agg(ORDER BY ident), exactly sort_keys=True's order.
+
+
+def _py_double_sql(x: str) -> str:
+    """Render a DOUBLE expression exactly as Python ``json.dumps`` does:
+    repr shortest round-trip (DuckDB's cast), with the json.dumps spellings
+    for the non-finite values."""
+    return (
+        f"CASE WHEN isnan({x}) THEN 'NaN' "
+        f"WHEN isinf({x}) AND {x} > 0 THEN 'Infinity' "
+        f"WHEN isinf({x}) THEN '-Infinity' "
+        f"ELSE CAST(CAST({x} AS DOUBLE) AS VARCHAR) END"
+    )
+
+
+def _profile_doc_settings_json() -> str:
+    """The document's settings block — generated from the SAME Settings the
+    Spark query folds with, so the two cannot drift."""
+    import json as _json
+
+    return _json.dumps(_parity_settings().to_json_dict(), sort_keys=True)
+
+
+# a series too short for any chunk still emits a full document: empty
+# matrices everywhere, ONE (never-counted) phase, tx null
+_PROFILE_DOC_EMPTY_TREE = (
+    '{"root": {"UUID": 1, "children": ['
+    + ", ".join(
+        '{"UUID": %d, "children": [], "maxChilds": 0, "maxCounts": 6, '
+        '"txmatrix": []}' % (p + 2)
+        for p in range(4)
+    )
+    + '], "maxChilds": 4, "maxCounts": 24, "txmatrix": []}}'
+)
+
+
+def _profile_doc_ctes() -> str:
+    FMT = _py_double_sql
+    grp = _go_round_pct
+    return f"""
+-- chronological chunk fold carrying the OVERALL running stats (o_*, the
+-- same ops as stats_rec) INTERLEAVED with the level-0 period counter's
+-- WINDOW stats (w_*): the window resets before chunk k when k is a
+-- multiple of 6 but not of 24 (the reference's no-reset-on-wrap quirk,
+-- period.py:46-66) — tree-node snapshots copy/merge these window stats.
+-- Row k+1 = state AFTER chunk k. Recursive CTE, not list_reduce: the
+-- mul-add double chain drifts 1 ulp under chained list_reduce (see
+-- _PARITY_STATS_CTES).
+tstat_rec AS (
+  SELECT conv_id, tool, role, CAST(0 AS BIGINT) AS k,
+         CAST(0 AS DOUBLE) AS o_avg, CAST(0 AS DOUBLE) AS o_cnt,
+         CAST(0 AS DOUBLE) AS w_avg, CAST(0 AS DOUBLE) AS w_cnt, CAST(0 AS DOUBLE) AS w_ssum
+  FROM seq WHERE k = 0
+  UNION ALL
+  SELECT f.conv_id, f.tool, f.role, f.k + 1,
+         (f.o_avg * f.o_cnt + xc.ca * 4.0) / (f.o_cnt + 4.0),
+         f.o_cnt + 4.0,
+         (xr.wa * xr.wc + xc.ca * 4.0) / (xr.wc + 4.0),
+         xr.wc + 4.0,
+         xr.ws + xs.ssc
+  FROM tstat_rec f
+  JOIN seq q ON q.conv_id = f.conv_id AND q.tool = f.tool AND q.role = f.role AND q.k = f.k,
+  LATERAL (SELECT (q.vals[1] + q.vals[2] + q.vals[3] + q.vals[4]) / 4.0 AS ca) xc,
+  LATERAL (SELECT
+      (q.vals[1] - f.o_avg) * (q.vals[1] - xc.ca)
+    + (q.vals[2] - f.o_avg) * (q.vals[2] - xc.ca)
+    + (q.vals[3] - f.o_avg) * (q.vals[3] - xc.ca)
+    + (q.vals[4] - f.o_avg) * (q.vals[4] - xc.ca) AS ssc) xs,
+  LATERAL (SELECT
+      CASE WHEN q.k > 0 AND q.k % 6 = 0 AND q.k % 24 <> 0 THEN CAST(0 AS DOUBLE) ELSE f.w_avg END AS wa,
+      CASE WHEN q.k > 0 AND q.k % 6 = 0 AND q.k % 24 <> 0 THEN CAST(0 AS DOUBLE) ELSE f.w_cnt END AS wc,
+      CASE WHEN q.k > 0 AND q.k % 6 = 0 AND q.k % 24 <> 0 THEN CAST(0 AS DOUBLE) ELSE f.w_ssum END AS ws) xr
+),
+-- node snapshot sequence: chunk k's post-merge window stats land in node
+-- (k//6)%4 (level 0 writes to the depth-1 node, period.py quirk)
+snap AS (
+  SELECT conv_id, tool, role, CAST((((k - 1) // 6) % 4) AS INT) AS node_p,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, tool, role, (((k - 1) // 6) % 4) ORDER BY k) - 1 AS s,
+         w_avg, w_cnt, w_ssum
+  FROM tstat_rec WHERE k > 0
+),
+-- node stats merge fold (period.py:84-96): the FIRST snapshot copies the
+-- window stats wholesale; every later snapshot does count++ (snapshots,
+-- not values), weighted 2-way mean against the window stats, and
+-- accumulates the window's CUMULATIVE ssum (overlapping windows re-add —
+-- a reference quirk kept for parity)
+node_rec AS (
+  SELECT conv_id, tool, role, node_p, CAST(0 AS BIGINT) AS s,
+         w_avg AS st_avg, w_cnt AS st_cnt, w_ssum AS st_ssum
+  FROM snap WHERE s = 0
+  UNION ALL
+  SELECT f.conv_id, f.tool, f.role, f.node_p, f.s + 1,
+         (f.st_avg * (f.st_cnt + 1.0) + q.w_avg * q.w_cnt) / ((f.st_cnt + 1.0) + q.w_cnt),
+         f.st_cnt + 1.0,
+         f.st_ssum + q.w_ssum
+  FROM node_rec f
+  JOIN snap q ON q.conv_id = f.conv_id AND q.tool = f.tool AND q.role = f.role
+             AND q.node_p = f.node_p AND q.s = f.s + 1
+),
+node_stats AS (
+  SELECT f.conv_id, f.tool, f.role, f.node_p, f.st_avg, f.st_cnt, f.st_ssum
+  FROM node_rec f
+  JOIN (SELECT conv_id, tool, role, node_p, MAX(s) AS ms
+        FROM node_rec GROUP BY conv_id, tool, role, node_p) m
+    ON m.conv_id = f.conv_id AND m.tool = f.tool AND m.role = f.role
+   AND m.node_p = f.node_p AND m.ms = f.s
+),
+-- ====== JSON assembly (json.dumps sort_keys=True byte format: keys
+-- lexicographic, ', ' item / ': ' kv separators, repr doubles) ======
+rt_tx AS (
+  SELECT conv_id, tool, role,
+    '{{' || string_agg(cell, ', ' ORDER BY ident) || '}}' AS tx_json
+  FROM (
+    SELECT conv_id, tool, role, ident,
+      '"' || ident || '": {{"nextProbs": [' ||
+      string_agg(CAST(prob_pct AS VARCHAR), ', ' ORDER BY next_state) ||
+      '], "probability": ' || CAST(any_value(step_prob) AS VARCHAR) || '}}' AS cell
+    FROM txm GROUP BY conv_id, tool, role, ident
+  ) GROUP BY conv_id, tool, role
+),
+rt_json AS (
+  SELECT s.conv_id, s.tool, s.role,
+    '[{{"metric": "len_text", "stats": {{"avg": ' || {FMT("s.stat_avg")} ||
+    ', "count": ' || CAST(CAST(s.stat_count AS BIGINT) AS VARCHAR) ||
+    ', "max": 128.0, "min": 0.0, "stddev": ' || {FMT("s.stat_stddev")} ||
+    ', "stddevsum": ' || {FMT("s.stat_ssum")} || '}}, "transitions": ' || t.tx_json || '}}]' AS rt
+  FROM stats_cols s
+  JOIN rt_tx t ON t.conv_id = s.conv_id AND t.tool = s.tool AND t.role = s.role
+),
+-- one matrix per touched tree node: frozen single ident (pt_ident), folded
+-- integer cells (pt_fold), frozen probability 100, merged node stats
+pt_mat AS (
+  SELECT c.conv_id, c.tool, c.role, c.node_p,
+    '[{{"metric": "len_text", "stats": {{"avg": ' || {FMT("n.st_avg")} ||
+    ', "count": ' || CAST(CAST(n.st_cnt AS BIGINT) AS VARCHAR) ||
+    ', "max": 128.0, "min": 0.0, "stddev": ' ||
+    {FMT("CASE WHEN n.st_ssum / n.st_cnt < 0 THEN CAST('NaN' AS DOUBLE) ELSE sqrt(n.st_ssum / n.st_cnt) END")} ||
+    ', "stddevsum": ' || {FMT("n.st_ssum")} ||
+    '}}, "transitions": {{"' || CAST(any_value(c.ident_state) AS VARCHAR) ||
+    '": {{"nextProbs": [' || string_agg(CAST(c.prob_pct AS VARCHAR), ', ' ORDER BY c.next_state) ||
+    '], "probability": 100}}}}}}]' AS mat
+  FROM pt_fold c
+  JOIN node_stats n ON n.conv_id = c.conv_id AND n.tool = c.tool AND n.role = c.role
+                   AND n.node_p = c.node_p
+  GROUP BY c.conv_id, c.tool, c.role, c.node_p, n.st_avg, n.st_cnt, n.st_ssum
+),
+tree_json AS (
+  SELECT u.conv_id, u.tool, u.role,
+    '{{"root": {{"UUID": 1, "children": [' ||
+    string_agg(
+      '{{"UUID": ' || CAST(p.p + 2 AS VARCHAR) ||
+      ', "children": [], "maxChilds": 0, "maxCounts": 6, "txmatrix": ' ||
+      COALESCE(m.mat, '[]') || '}}', ', ' ORDER BY p.p) ||
+    '], "maxChilds": 4, "maxCounts": 24, "txmatrix": []}}}}' AS pt
+  FROM (SELECT DISTINCT conv_id, tool, role FROM pt_mat) u
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p) p
+  LEFT JOIN pt_mat m ON m.conv_id = u.conv_id AND m.tool = u.tool AND m.role = u.role
+                    AND m.node_p = p.p
+  GROUP BY u.conv_id, u.tool, u.role
+),
+-- phase matrices: counted phases get one matrix; never-counted phases
+-- (created by the off-by-one, pointer left on the old last) serialize []
+ph_mat AS (
+  SELECT p.conv_id, p.tool, p.role, p.pid,
+    '[{{"metric": "len_text", "stats": {{"avg": ' || {FMT("p.sp_avg")} ||
+    ', "count": ' || CAST(CAST(p.sp_cnt AS BIGINT) AS VARCHAR) ||
+    ', "max": 128.0, "min": 0.0, "stddev": ' ||
+    {FMT("CASE WHEN p.sp_ssum / p.sp_cnt < 0 THEN CAST('NaN' AS DOUBLE) ELSE sqrt(p.sp_ssum / p.sp_cnt) END")} ||
+    ', "stddevsum": ' || {FMT("p.sp_ssum")} || '}}, "transitions": {{' ||
+    string_agg(p.cell, ', ' ORDER BY p.ident_s) || '}}}}]' AS mat
+  FROM (
+    SELECT c.conv_id, c.tool, c.role, c.c['pid'] AS pid,
+      sp_avg[c.c['pid'] + 1] AS sp_avg, sp_cnt[c.c['pid'] + 1] AS sp_cnt,
+      sp_ssum[c.c['pid'] + 1] AS sp_ssum,
+      CAST(c.c['ident'] AS VARCHAR) AS ident_s,
+      '"' || CAST(c.c['ident'] AS VARCHAR) || '": {{"nextProbs": [' ||
+      string_agg(CAST({grp("c.c['cnt']", "c.c['rowsum']")} AS VARCHAR), ', ' ORDER BY c.c['nxt']) ||
+      '], "probability": ' || CAST({grp("any_value(c.c['rowsum'])", "any_value(n.nc)")} AS VARCHAR) || '}}' AS cell
+    FROM pcells c
+    JOIN pcnt n ON n.conv_id = c.conv_id AND n.tool = c.tool AND n.role = c.role
+               AND n.phase_id = c.c['pid']
+    WHERE c.c['rowsum'] > 0
+    GROUP BY c.conv_id, c.tool, c.role, c.c['pid'], c.c['ident'],
+             sp_avg[c.c['pid'] + 1], sp_cnt[c.c['pid'] + 1], sp_ssum[c.c['pid'] + 1]
+  ) p
+  GROUP BY p.conv_id, p.tool, p.role, p.pid, p.sp_avg, p.sp_cnt, p.sp_ssum
+),
+ptx_json AS (
+  SELECT t.conv_id, t.tool, t.role,
+    '{{"metric": "phasetx", "stats": {{"avg": 0.0, "count": ' ||
+    CAST(any_value(t.total_chunks) AS VARCHAR) || ', "max": ' ||
+    {FMT("CAST(any_value(t.n_phases) AS DOUBLE)")} ||
+    ', "min": 0.0, "stddev": 0.0, "stddevsum": 0.0}}, "transitions": {{' ||
+    string_agg(t.cell, ', ' ORDER BY t.ident_s) || '}}}}' AS ptx
+  FROM (
+    SELECT conv_id, tool, role, total_chunks, n_phases,
+      CAST(c['ident'] AS VARCHAR) AS ident_s,
+      '"' || CAST(c['ident'] AS VARCHAR) || '": {{"nextProbs": [' ||
+      string_agg(CAST({grp("c['cnt']", "c['rowsum']")} AS VARCHAR), ', ' ORDER BY c['nxt']) ||
+      '], "probability": ' || CAST({grp("any_value(c['rowsum'])", "any_value(total_chunks)")} AS VARCHAR) || '}}' AS cell
+    FROM txcells
+    WHERE c['rowsum'] > 0
+    GROUP BY conv_id, tool, role, total_chunks, n_phases, c['ident']
+  ) t
+  GROUP BY t.conv_id, t.tool, t.role
+),
+phases_json AS (
+  SELECT l.conv_id, l.tool, l.role,
+    '{{"phases": [' ||
+    string_agg(COALESCE(m.mat, '[]'), ', ' ORDER BY p.p) ||
+    '], "tx": ' || any_value(x.ptx) || '}}' AS ph
+  FROM last l
+  CROSS JOIN (SELECT unnest(generate_series(0,
+      (SELECT CAST(COALESCE(MAX(n_phases), 1) - 1 AS BIGINT) FROM last))) AS p) p
+  LEFT JOIN ph_mat m ON m.conv_id = l.conv_id AND m.tool = l.tool AND m.role = l.role
+                    AND m.pid = p.p
+  JOIN ptx_json x ON x.conv_id = l.conv_id AND x.tool = l.tool AND x.role = l.role
+  WHERE p.p < l.n_phases
+  GROUP BY l.conv_id, l.tool, l.role
+),
+doc_universe AS (SELECT DISTINCT conv_id, tool, role FROM series)
+""".strip()
+
+
+def _profile_doc_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_parity_cte()},
+{_PARITY_STATS_CTES},
+{_phase_doc_ctes()},
+{_PARITY_TREE_CTES},
+{_profile_doc_ctes()}
+SELECT u.conv_id, u.tool, u.role,
+  '{{"name": "tsprofiler_spark", "periodTree": ' ||
+  COALESCE(t.pt, '{_PROFILE_DOC_EMPTY_TREE}') ||
+  ', "phases": ' || COALESCE(p.ph, '{{"phases": [[]], "tx": null}}') ||
+  ', "roottx": ' || COALESCE(r.rt, '[]') ||
+  ', "settings": {_profile_doc_settings_json()}}}' AS profile_json
+FROM doc_universe u
+LEFT JOIN tree_json t ON t.conv_id = u.conv_id AND t.tool = u.tool AND t.role = u.role
+LEFT JOIN phases_json p ON p.conv_id = u.conv_id AND p.tool = u.tool AND p.role = u.role
+LEFT JOIN rt_json r ON r.conv_id = u.conv_id AND r.tool = u.tool AND r.role = u.role
+""".strip()
+
+
+_register("parity_profiles", _q_parity_profile_doc, _profile_doc_oracle())
 
 
 def _q_predictor_likeliness(spark, sf):
