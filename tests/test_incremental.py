@@ -284,6 +284,52 @@ def test_second_late_batch_after_expiry_preserves_coarse_tiers(
     assert day not in store.manifest.partial_days("1m")
 
 
+def test_partial_day_with_coarse_pointers_gone_takes_replace_path(
+    spark, transcripts, tmp_path
+):
+    """A partial-flagged 1m day whose 1h/1d pointers were later dropped
+    (e.g. a selective coarse-tier expire) has nothing left to preserve:
+    the merge must REBUILD the coarse day from the COMPLETE staged 1m
+    content (all surviving late batches), not fold only the newest
+    batch's increment into nothing — that would silently drop the earlier
+    late rows still committed in 1m."""
+    from tsprofiler_spark.plans.retention import merge_transcript_batch
+
+    store = RollupStore(spark, str(tmp_path / "s"))
+    incremental_run(
+        transcripts,
+        store,
+        SETTINGS,
+        tiers_cfg={"1m": {"ttl_days": 1}, "1h": {"ttl_days": 365}, "1d": {"ttl_days": 365}},
+        expire=True,
+    )
+    day = sorted(set(store.manifest.tiers["1h"]) - set(store.manifest.tiers["1m"]))[0]
+    day_rows = transcripts.where(F.to_date("ts") == day)
+    late1 = day_rows.where(F.col("turn_idx") % 2 == 0).limit(7)
+    late2 = day_rows.where(F.col("turn_idx") % 2 == 1).limit(5)
+    n1, n2 = late1.count(), late2.count()
+    wm = store.manifest.watermark
+    merge_transcript_batch(late1, store, "late-1", wm)
+    assert day in store.manifest.partial_days("1m")
+
+    # selective coarse expiry: the day's 1h/1d pointers vanish while the
+    # (partial) 1m day and its flag survive
+    store.manifest.drop_days("1h", [day])
+    store.manifest.drop_days("1d", [day])
+    assert day in store.manifest.partial_days("1m")  # 1m flag untouched
+
+    merge_transcript_batch(late2, store, "late-2", wm)
+    one_m = store.read_tier("1m").where(F.col("day") == day)
+    n_1m = one_m.agg(F.sum("n")).collect()[0][0]
+    n_1h = store.read_tier("1h").where(F.col("day") == day).agg(F.sum("n")).collect()[0][0]
+    n_1d = store.read_tier("1d").where(F.col("day") == day).agg(F.sum("n")).collect()[0][0]
+    # every tier agrees on the day's surviving content: both late batches,
+    # never the newest increment alone
+    assert n_1m == n1 + n2
+    assert n_1h == n1 + n2, (n_1h, n1, n2)
+    assert n_1d == n1 + n2
+
+
 def test_ttl_late_replay_restart_lifecycle(spark, transcripts, tmp_path):
     """One combined lifecycle (r4 verdict ask #5): stream ingest -> 1m TTL
     expiry -> late replay resurrecting an expired day -> stream RESTART

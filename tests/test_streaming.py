@@ -279,6 +279,23 @@ def test_idle_series_state_eviction(spark, tmp_path):
     assert got[0][0] == "b"
 
 
+def test_idle_timeout_interval_parsing():
+    """Spark-style interval spellings parse; junk raises a message naming
+    the accepted forms instead of a bare split/KeyError."""
+    import pytest as _pytest
+
+    from tsprofiler_spark.streaming.profile_stream import _parse_interval_ms
+
+    assert _parse_interval_ms("30 minutes") == 30 * 60_000
+    assert _parse_interval_ms("1.5 hours") == 5_400_000
+    assert _parse_interval_ms("90s") == 90_000
+    assert _parse_interval_ms("30 min") == 30 * 60_000
+    assert _parse_interval_ms(" 2 days ") == 2 * 86_400_000
+    for bad in ("minutes", "30", "30 fortnights", "x minutes"):
+        with _pytest.raises(ValueError, match="expected"):
+            _parse_interval_ms(bad)
+
+
 def test_legacy_stream_run_id_migration_guard(spark, transcripts, tmp_path):
     """A store written under the pre-scoped ``stream-{batch_id}`` run-id
     scheme, resumed under the scoped scheme: the replayed in-flight batch

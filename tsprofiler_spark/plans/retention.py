@@ -150,22 +150,35 @@ def merge_transcript_batch(
         store.manifest.tiers.get("1d") or {}
     )
     partial_1m = store.manifest.partial_days("1m")
-    # brand-new days (in no tier yet) stay on the replace fast path
+    # Both conditions require a SURVIVING coarse version: a partial-flagged
+    # day whose 1h/1d pointers are gone (e.g. a selective coarse-tier
+    # expire) has nothing to preserve — the replace path cascading the
+    # COMPLETE staged 1m day is then exactly right (additive-increment
+    # would rebuild the coarse day from only this batch's rows, dropping
+    # earlier late batches still committed in 1m). Brand-new days (in no
+    # tier yet) stay on the replace fast path for the same reason.
     resurrected = [
         d
         for d in affected
-        if (d not in committed_1m and d in committed_coarse) or d in partial_1m
+        if d in committed_coarse and (d not in committed_1m or d in partial_1m)
     ]
-    # Cascade source: staged (complete) day content for replaced days, but
-    # ONLY THIS BATCH'S increment for resurrected days — the staged 1m day
-    # there also contains earlier late batches' rows, which the additive
-    # fold already merged into 1h/1d; cascading the staged content again
-    # would double-count them.
-    if resurrected:
+    # Cascade source per day class:
+    #   * replaced days — the staged (complete) 1m day content;
+    #   * FRESHLY resurrected days (no committed 1m version) — also the
+    #     staged content: with nothing merged in, it IS this batch's
+    #     increment, and the columnar staged parquet is cheaper than
+    #     re-aggregating the raw batch;
+    #   * flagged partial days (committed 1m, incomplete) — ONLY THIS
+    #     BATCH'S increment (`finest`): the staged day also contains
+    #     earlier late batches' rows, which the additive fold already
+    #     merged into 1h/1d — cascading the staged content again would
+    #     double-count them.
+    flagged = [d for d in resurrected if d in committed_1m]
+    if flagged:
         day_of = F.date_format(F.date_trunc("day", "bucket_start"), "yyyy-MM-dd")
         cascade_src = staged_1m.drop("day").where(
-            ~day_of.isin(resurrected)
-        ).unionByName(finest.where(day_of.isin(resurrected)))
+            ~day_of.isin(flagged)
+        ).unionByName(finest.where(day_of.isin(flagged)))
     else:
         cascade_src = staged_1m.drop("day")
     # 1d cascades from the 1h partials (not from 1m): sums/min/max compose,

@@ -173,6 +173,34 @@ def _make_chunk_fn(settings: Settings, idle_timeout_ms: int | None = None):
     return chunk_fn
 
 
+_INTERVAL_UNITS_MS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000, "sec": 1000, "secs": 1000, "s": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000, "mins": 60_000,
+    "m": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000, "d": 86_400_000,
+}
+
+
+def _parse_interval_ms(interval: str) -> int:
+    """Parse Spark-interval-style '<n> <unit>' (e.g. '30 minutes',
+    '1.5 hours', '90s') to milliseconds, with an error that names the
+    accepted forms instead of a bare split/KeyError."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*", interval
+    )
+    unit_ms = _INTERVAL_UNITS_MS.get(m.group(2).lower()) if m else None
+    if unit_ms is None:
+        raise ValueError(
+            f"idle_timeout {interval!r}: expected '<number> <unit>' with "
+            f"unit one of {sorted(set(_INTERVAL_UNITS_MS))}"
+        )
+    return int(float(m.group(1)) * unit_ms)
+
+
 def stream_chunk_states(
     series_stream: DataFrame,
     settings: Settings,
@@ -192,22 +220,21 @@ def stream_chunk_states(
     the same contract as batch, which discards a trailing incomplete chunk
     (chunk_stats' completeness gate), so stream==batch equality holds for
     every series that is truly finished when it times out. A series that
-    RESUMES after its timeout starts a fresh buffer/cumulative fold (the
-    stream treated it as terminated); pick the timeout above the corpus'
-    real inter-turn idle ceiling. ``None`` preserves the unbounded-state
-    behavior for bounded backfills."""
+    RESUMES after its timeout starts a fresh lifetime: the buffer AND the
+    cumulative (cum_n, cum_s1) fold restart at zero, so post-resume rows
+    re-emit ``bucket_idx`` 0, 1, ... — in an append sink those keys
+    COLLIDE with the series' pre-eviction rows (different values: the
+    reset fold changes ``current_avg``), and the output diverges from
+    batch for that series. Consumers that must tolerate resumption should
+    key on (series, metric, bucket_idx, ``bucket_start``) — bucket_start
+    is strictly later after a resume — or treat the resumed rows as a new
+    logical series. Pick the timeout above the corpus' real inter-turn
+    idle ceiling; ``None`` preserves the unbounded-state behavior for
+    bounded backfills."""
     timeout_conf = GroupStateTimeout.NoTimeout
     idle_ms: int | None = None
     if idle_timeout is not None:
-        qty, unit = idle_timeout.split()
-        unit_ms = {
-            "millisecond": 1, "milliseconds": 1,
-            "second": 1000, "seconds": 1000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-            "day": 86_400_000, "days": 86_400_000,
-        }[unit.lower()]
-        idle_ms = int(qty) * unit_ms
+        idle_ms = _parse_interval_ms(idle_timeout)
         timeout_conf = GroupStateTimeout.EventTimeTimeout
     return series_stream.groupBy(*SERIES_COLS, "metric").applyInPandasWithState(
         _make_chunk_fn(settings, idle_timeout_ms=idle_ms),
