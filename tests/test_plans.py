@@ -159,14 +159,15 @@ def test_driver_contract_shape():
     assert len(q) == 50, "registry must exactly fill the 50-row gate budget"
     assert list(q) == entry._DRIVER_ORDER
     assert set(o) == set(q), "every registered query must be value-checked"
-    first14 = list(q)[:14]
+    first15 = list(q)[:15]
     for name in (
+        "parity_profiles",  # r5: the full-document hash leads (riskiest-new)
         "parity_phases", "parity_phase_tx", "text_pack_sequences",
         "text_fingerprint", "sample_hash_split", "dedup_ngram_jaccard",
         "multimodal_features", "predictor_likeliness", "series_stats",
         "sim_ivf_kmeans_topk",
     ):
-        assert name in first14, f"{name} must run before the heavy families"
+        assert name in first15, f"{name} must run before the heavy families"
     # retired entries stay out of the driver order but inside the local
     # harness's full registry (check_oracle runs all_queries())
     aq, ao = entry.all_queries()
