@@ -34,12 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver execution order. The correctness gate runs queries in dict
-# insertion order with a 50-row budget (r2 stopped at entry #50; r3 ran
-# exactly 50) — so the registry is sized to EXACTLY 50 entries this round
-# (r3 verdict ask #3: registry == verified set, no sacrificial tail).
-# Order: riskiest first — (1) never driver-verified, (2) the r3 red whose
-# oracle-type fix must prove out, (3) the queries without an r3 row,
-# (4) everything green in r3.
+# insertion order with a 50-row budget (r2 stopped at entry #50; r3/r4 ran
+# exactly 50) — so the registry stays sized to EXACTLY 50 entries
+# (registry == verified set, no sacrificial tail). Order: riskiest first —
+# never-driver-verified entries lead (r5: the new full-document hash),
+# then the families by recency of their last change; everything below the
+# head was green in r4's 50/50.
 _DRIVER_ORDER = [
     # -- brand new (r4 verdict ask #3): the ASSEMBLED profile document —
     #    the full profile_json string hash-compared against a DuckDB oracle
