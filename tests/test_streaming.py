@@ -279,6 +279,43 @@ def test_idle_series_state_eviction(spark, tmp_path):
     assert got[0][0] == "b"
 
 
+def test_streaming_ttl_expiry_and_late_resurrection(spark, transcripts, tmp_path):
+    """A streaming-only store with ``tiers_cfg`` expires after each batch
+    (without it, TTLs silently never apply to pure-stream deployments).
+    The full ADVICE scenario then runs stream-side: expiry drops a 1m day,
+    two late micro-batches resurrect it — the coarse tiers must stay
+    additive through BOTH (durable partial flag + per-batch expiry both
+    re-arming the machinery)."""
+    from pyspark.sql import functions as F
+
+    cfg = {"1m": {"ttl_days": 1}, "1h": {"ttl_days": 365}, "1d": {"ttl_days": 365}}
+    store = RollupStore(spark, str(tmp_path / "s"))
+    process_microbatch(transcripts, 0, store, tiers_cfg=cfg)
+    expired = sorted(set(store.manifest.tiers["1h"]) - set(store.manifest.tiers["1m"]))
+    assert expired, "per-batch expiry must prune the 1m tier"
+    day = expired[0]
+
+    def n_1h():
+        return (
+            store.read_tier("1h").where(F.col("day") == day)
+            .agg(F.sum("n")).collect()[0][0]
+        )
+
+    before = n_1h()
+    day_rows = transcripts.where(F.to_date("ts") == day)
+    late1 = day_rows.where(F.col("turn_idx") % 2 == 0).limit(7)
+    late2 = day_rows.where(F.col("turn_idx") % 2 == 1).limit(5)
+    n1, n2 = late1.count(), late2.count()
+    assert n1 > 0 and n2 > 0
+    process_microbatch(late1, 1, store, tiers_cfg=cfg)
+    process_microbatch(late2, 2, store, tiers_cfg=cfg)
+    assert n_1h() == before + n1 + n2
+    # per-batch expiry re-dropped the resurrected (partial) 1m day: the day
+    # is older than the 1m TTL cutoff, so it never lingers past its batch
+    assert day not in store.manifest.tiers.get("1m", {})
+    assert day not in store.manifest.partial_days("1m")
+
+
 def test_idle_timeout_interval_parsing():
     """Spark-style interval spellings parse; junk raises a message naming
     the accepted forms instead of a bare split/KeyError."""

@@ -79,6 +79,7 @@ def process_microbatch(
     store: RollupStore,
     stream_id: str = "stream",
     legacy_stream_ids: tuple[str, ...] = (),
+    tiers_cfg: dict | None = None,
 ) -> list[dict]:
     """MERGE one micro-batch into every tier (same snapshot-commit path as
     the batch job), keyed by the deterministic ``{stream_id}-{batch_id}``
@@ -110,7 +111,16 @@ def process_microbatch(
     would be silently skipped — the exact collision the scoped ids fixed.
     The zero-flag alternative is a drain-and-restart migration: stop the
     old stream at an idle point (no in-flight batch), then restart on the
-    new scheme."""
+    new scheme.
+
+    ``tiers_cfg``: when given (same shape as config.DEFAULT_TIERS), run
+    TTL expiry after each committed merge — the batch-incremental job does
+    this every run, but a STREAMING-ONLY store otherwise never expires:
+    its TTLs silently don't apply, and the 1m tier grows past its
+    retention forever. Expiry after the merge is also what re-arms the
+    resurrected-day machinery (an expired day's next late row recreates a
+    flagged partial 1m day). Cheap: a manifest day-list scan + pointer
+    commit; no Spark job."""
     if batch.isEmpty():
         return []
     from pyspark.sql import functions as F
@@ -134,9 +144,16 @@ def process_microbatch(
     prior = store.manifest.watermark
     if watermark is None or (prior is not None and watermark < prior):
         watermark = prior
-    return merge_transcript_batch(
+    lineage = merge_transcript_batch(
         batch, store, run_id, watermark, affected=affected
     )
+    if tiers_cfg:
+        from tsprofiler_spark.operators.rollup import TIER_TRUNC
+
+        for tier, cfg in tiers_cfg.items():
+            if tier in TIER_TRUNC:
+                store.expire(tier, cfg["ttl_days"])
+    return lineage
 
 
 def start_rollup_stream(
@@ -146,6 +163,7 @@ def start_rollup_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     legacy_stream_ids: tuple[str, ...] = (),
+    tiers_cfg: dict | None = None,
 ):
     """Start the continuous rollup: stream -> foreachBatch tier MERGE.
 
@@ -161,7 +179,8 @@ def start_rollup_stream(
     checkpoint/store lifecycle contract and for ``legacy_stream_ids``
     (one-restart migration guard for stores written by the pre-scoped
     ``stream-{batch_id}`` scheme; pass ``("stream",)`` for the first
-    resumed restart, then drop it).
+    resumed restart, then drop it) and ``tiers_cfg`` (per-batch TTL
+    expiry — a streaming-only store never expires without it).
     """
     import uuid
 
@@ -172,7 +191,7 @@ def start_rollup_stream(
     def process(batch: DataFrame, batch_id: int) -> None:
         process_microbatch(
             batch, batch_id, store, stream_id=stream_id,
-            legacy_stream_ids=legacy_stream_ids,
+            legacy_stream_ids=legacy_stream_ids, tiers_cfg=tiers_cfg,
         )
 
     writer = stream.writeStream.foreachBatch(process).option(
